@@ -1,0 +1,189 @@
+"""Application driver: load -> undistort -> group -> strips -> global -> crop.
+
+Capability parity: runStitchApplication (reference: stitch_app.cpp:146-271)
+with its per-stage tuning overrides (strip_sift_features :198-201;
+global_sift_features + range matcher off + blend_bands floor 5 :227-239),
+strip persistence (:215-217, here a real checkpoint boundary with resume),
+single-group flatten path (:246-260), autocrop + write (:262-263), and the
+top-level catch -> exit code 1 (:265-268). Unlike the reference's hardcoded
+run parameters (:149-151), every knob is exposed through RunConfig / the CLI
+(cli/main.py).
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .config.tuning import StitchTuning, load_stitch_tuning
+from .grouping.flight_grouper import group_boustrophedon
+from .ops.crop import auto_crop_black_border
+from .pipeline.global_ import stitch_inter_strips_custom
+from .pipeline.strip import stitch_strip
+from .runtime.checkpoint import (load_strip_checkpoint,
+                                 save_strip_checkpoint)
+from .runtime.loader import load_with_ids
+from .runtime.logging import get_logger
+
+
+@dataclass
+class RunConfig:
+    """The reference's hardcoded run parameters, promoted to real config
+    (stitch_app.cpp:149-160)."""
+
+    image_folder: str = "../images"
+    image_type: str = "visible"
+    group: str = "minfull"
+    output_root: str = "../output"
+    save_strips: bool = True
+    resume: bool = False          # resume global stage from strip checkpoint
+    tuning_overrides: dict = field(default_factory=dict)
+
+    @property
+    def input_dir(self) -> str:
+        return os.path.join(self.image_folder, self.image_type, self.group)
+
+    @property
+    def output_dir(self) -> str:
+        return os.path.join(self.output_root, self.image_type, self.group)
+
+    @property
+    def output_path(self) -> str:
+        return os.path.join(
+            self.output_dir,
+            f"{self.image_type}_{self.group}_uav_panorama.jpg")
+
+
+def _write_image(path: str, img: np.ndarray) -> None:
+    import cv2
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not cv2.imwrite(path, img):
+        raise RuntimeError(f"failed to write {path}")
+
+
+def _undistort_if_ready(images: List[np.ndarray], tuning: StitchTuning,
+                        image_type: str) -> List[np.ndarray]:
+    """Reference: findCameraCalibration + undistortImagesIfReady
+    (stitch_app.cpp:27-80): no-op while the calibration placeholders are
+    empty."""
+    calib = tuning.calibration.find(image_type)
+    if calib is None or not calib.is_ready():
+        get_logger().log("Main", "calibration not ready; skipping undistort")
+        return images
+    import jax.numpy as jnp
+    from .ops.undistort import undistort
+    out = []
+    for img in images:
+        und = undistort(jnp.asarray(img.astype(np.float32)), calib)
+        out.append(np.asarray(und).astype(np.uint8))
+    get_logger().log("Main", "undistorted", n=len(out))
+    return out
+
+
+def _log_runtime_options(tuning: StitchTuning) -> None:
+    """Reference: logRuntimeOptions (stitch_app.cpp:82-113)."""
+    import jax
+    log = get_logger()
+    log.log("Main", "devices",
+            backend=jax.default_backend(),
+            devices=[str(d) for d in jax.devices()])
+    from .config.tuning import tuning_as_dict
+    log.log("Main", "tuning", **tuning_as_dict(tuning))
+
+
+def make_strip_tags(strip_idx: int, ids: List[str]) -> List[str]:
+    """Reference: makeStripTags (stitch_app.cpp:131-142)."""
+    return [f"S{strip_idx}:{i}" for i in ids]
+
+
+def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
+    """End-to-end run; returns a process exit code like the reference."""
+    cfg = cfg or RunConfig()
+    log = get_logger()
+    try:
+        tuning = load_stitch_tuning(cfg.image_type)
+        if cfg.tuning_overrides:
+            tuning = tuning.replace(**cfg.tuning_overrides)
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        _log_runtime_options(tuning)
+
+        loaded = load_with_ids(cfg.input_dir)
+        log.log("Main", "loaded", n=len(loaded.images))
+        if len(loaded.images) < 2:
+            log.log("Main", "need at least 2 images")
+            return 1
+
+        images = _undistort_if_ready(loaded.images, tuning, cfg.image_type)
+
+        ckpt_dir = os.path.join(cfg.output_dir, "strips")
+        strips_done: Optional[List[np.ndarray]] = None
+        if cfg.resume:
+            strips_done = load_strip_checkpoint(ckpt_dir)
+            if strips_done is not None:
+                log.log("Main", "resuming global stage from checkpoint",
+                        strips=len(strips_done))
+
+        if strips_done is None:
+            with log.timer("Main", "grouping"):
+                groups = group_boustrophedon(images, loaded.ids, tuning)
+            log.log("Main", "groups", n=len(groups),
+                    sizes=[len(g.indices) for g in groups])
+
+            if len(groups) > 1:
+                strip_tuning = tuning.replace(
+                    sift_features=tuning.strip_sift_features)
+                strip_panos = []
+                for gi, g in enumerate(groups):
+                    imgs = [images[k] for k in g.indices]
+                    tags = make_strip_tags(gi, g.ids)
+                    with log.timer(f"Strip{gi}", "stitch"):
+                        pano = stitch_strip(
+                            imgs, strip_tuning, stage=f"Strip{gi}",
+                            range_width_override=tuning.range_width,
+                            image_tags=tags)
+                    pano = auto_crop_black_border(pano)
+                    strip_panos.append(pano)
+                    if cfg.save_strips:
+                        _write_image(os.path.join(
+                            ckpt_dir, f"strip_{gi:02d}.jpg"), pano)
+                save_strip_checkpoint(ckpt_dir, strip_panos)
+                strips_done = strip_panos
+            else:
+                # single-group path (stitch_app.cpp:246-260)
+                flat = [images[k] for g in groups for k in g.indices]
+                with log.timer("Main", "single-group stitch"):
+                    pano = stitch_strip(
+                        flat, tuning.replace(
+                            sift_features=tuning.strip_sift_features),
+                        stage="Single",
+                        range_width_override=tuning.range_width)
+                pano = auto_crop_black_border(pano)
+                _write_image(cfg.output_path, pano)
+                log.log("Main", "wrote", path=cfg.output_path)
+                return 0
+
+        if len(strips_done) == 1:
+            panorama = strips_done[0]
+        else:
+            # global tuning overrides (stitch_app.cpp:227-239)
+            global_tuning = tuning.replace(
+                sift_features=tuning.global_sift_features,
+                use_range_matcher=False,
+                blend_bands=max(5, tuning.blend_bands))
+            with log.timer("Main", "global compose"):
+                panorama = stitch_inter_strips_custom(strips_done,
+                                                      global_tuning)
+
+        panorama = auto_crop_black_border(panorama)
+        _write_image(cfg.output_path, panorama)
+        log.log("Main", "wrote", path=cfg.output_path,
+                h=panorama.shape[0], w=panorama.shape[1])
+        return 0
+    except Exception as err:  # top-level catch (stitch_app.cpp:265-268)
+        log.log("Main", "FATAL", error=str(err))
+        traceback.print_exc()
+        return 1

@@ -1,0 +1,151 @@
+"""Canvas blending: feather blend and tiled multiband (Laplacian) blend.
+
+Capability parity targets:
+  - detail::MultiBandBlender(try_gpu, bands) (reference: stitch_robust.cpp:213
+    strip compose; stitch_global.cpp:636-660 global compose) including the
+    band-count formula max(max(5, cfg), ceil(log2(max_dim)) - 1) capped at 12
+    (stitch_global.cpp:632-635);
+  - feather blending for the two-frame pairwise config (BASELINE.md config 1).
+
+TPU-first design: the blender never materializes per-image canvases. Each
+image is fed as an ROI patch whose top-left is aligned to the 2^bands grid;
+its Laplacian pyramid accumulates into the shared canvas pyramid via
+dynamic_update_slice at exactly-divisible offsets. HBM cost is one canvas
+pyramid (4/3 x canvas) + one ROI pyramid, independent of image count.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .gaussian import collapse_laplacian, gaussian_pyramid, laplacian_pyramid
+
+
+def num_blend_bands(cfg_bands: int, canvas_h: int, canvas_w: int) -> int:
+    """Reference band formula (stitch_global.cpp:632-635)."""
+    max_dim = max(canvas_h, canvas_w)
+    auto = max(1, int(math.ceil(math.log2(max(max_dim, 2)))) - 1)
+    return min(max(max(5, cfg_bands), auto), 12)
+
+
+def align_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def align_down(v: int, m: int) -> int:
+    return (v // m) * m
+
+
+def aligned_roi(x0: float, y0: float, x1: float, y1: float, bands: int,
+                canvas_h: int, canvas_w: int):
+    """Host helper: expand a float bbox to the 2^bands grid, clip to canvas.
+
+    Returns (tl_x, tl_y, w, h) ints, all multiples of 2^bands (w/h) with
+    tl on the grid, so every pyramid level has integral offsets/sizes.
+    """
+    g = 1 << bands
+    tlx = max(0, align_down(int(math.floor(x0)) - g, g))
+    tly = max(0, align_down(int(math.floor(y0)) - g, g))
+    brx = min(canvas_w, align_up(int(math.ceil(x1)) + g, g))
+    bry = min(canvas_h, align_up(int(math.ceil(y1)) + g, g))
+    brx = max(brx, tlx + g)
+    bry = max(bry, tly + g)
+    return tlx, tly, brx - tlx, bry - tly
+
+
+class MultiBandCanvas(NamedTuple):
+    """Shared canvas pyramid accumulators (a pytree; jit-friendly)."""
+
+    acc: tuple    # per level: (Hl, Wl, 3) float32 weighted laplacians
+    wacc: tuple   # per level: (Hl, Wl) float32 weights
+
+
+def mb_prepare(canvas_h: int, canvas_w: int, bands: int) -> MultiBandCanvas:
+    """Allocate zeroed canvas pyramids; dims padded to the 2^bands grid."""
+    ch = align_up(canvas_h, 1 << bands)
+    cw = align_up(canvas_w, 1 << bands)
+    acc = []
+    wacc = []
+    for lvl in range(bands + 1):
+        acc.append(jnp.zeros((ch >> lvl, cw >> lvl, 3), jnp.float32))
+        wacc.append(jnp.zeros((ch >> lvl, cw >> lvl), jnp.float32))
+    return MultiBandCanvas(acc=tuple(acc), wacc=tuple(wacc))
+
+
+def mb_feed(canvas: MultiBandCanvas, img_roi: jnp.ndarray,
+            weight_roi: jnp.ndarray, tl_x, tl_y) -> MultiBandCanvas:
+    """Accumulate one image patch.
+
+    ``img_roi``: (Hr, Wr, 3) float32, zeros outside content;
+    ``weight_roi``: (Hr, Wr) float32 in [0, 1] (soft seam+content weight);
+    ``tl_x``/``tl_y``: canvas offsets (traced ints OK), multiples of 2^bands.
+    Hr/Wr must be multiples of 2^bands (use ``aligned_roi``).
+    """
+    bands = len(canvas.acc) - 1
+    lap = laplacian_pyramid(img_roi, bands)
+    wp = gaussian_pyramid(weight_roi.astype(jnp.float32), bands)
+    acc = []
+    wacc = []
+    for lvl in range(bands + 1):
+        ox = tl_x >> lvl if isinstance(tl_x, int) else tl_x // (1 << lvl)
+        oy = tl_y >> lvl if isinstance(tl_y, int) else tl_y // (1 << lvl)
+        w = wp[lvl]
+        contrib = lap[lvl] * w[..., None]
+        a = canvas.acc[lvl]
+        cur = jax.lax.dynamic_slice(
+            a, (oy, ox, 0), (contrib.shape[0], contrib.shape[1], 3))
+        acc.append(jax.lax.dynamic_update_slice(a, cur + contrib,
+                                                (oy, ox, 0)))
+        wa = canvas.wacc[lvl]
+        curw = jax.lax.dynamic_slice(wa, (oy, ox),
+                                     (w.shape[0], w.shape[1]))
+        wacc.append(jax.lax.dynamic_update_slice(wa, curw + w, (oy, ox)))
+    return MultiBandCanvas(acc=tuple(acc), wacc=tuple(wacc))
+
+
+def mb_blend(canvas: MultiBandCanvas, out_h: int, out_w: int):
+    """Normalize, collapse, crop. Returns (img (H,W,3) f32, valid (H,W))."""
+    eps = 1e-5
+    pyr = [a / (w[..., None] + eps)
+           for a, w in zip(canvas.acc, canvas.wacc)]
+    out = collapse_laplacian(pyr)
+    valid = canvas.wacc[0] > 1e-3
+    out = jnp.where(valid[..., None], out, 0.0)
+    return (jnp.clip(out[:out_h, :out_w], 0.0, 255.0),
+            valid[:out_h, :out_w])
+
+
+# --------------------------------------------------------------------------
+# feather blend (pairwise config)
+# --------------------------------------------------------------------------
+
+def border_feather_weight(h: int, w: int, sharpness: float = 0.04
+                          ) -> jnp.ndarray:
+    """Source-frame weight: distance to the image border, saturating.
+
+    OpenCV FeatherBlender builds weights from the distance transform of the
+    mask; for a full rectangular source this is exactly min distance to the
+    four edges. The weight is warped together with the image so it stays
+    correct under any transform. ``sharpness`` matches cv2's 1/ramp-width
+    semantics (0.04 -> 25 px ramp).
+    """
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    d = jnp.minimum(jnp.minimum(ys + 1.0, h - ys),
+                    jnp.minimum(xs + 1.0, w - xs))
+    return jnp.clip(d * sharpness, 0.0, 1.0)
+
+
+def feather_blend(images: list[jnp.ndarray], weights: list[jnp.ndarray]):
+    """Weighted-average blend. images: (H,W,3); weights: (H,W) in [0,1]."""
+    acc = jnp.zeros_like(images[0])
+    wsum = jnp.zeros(images[0].shape[:2], jnp.float32)
+    for img, w in zip(images, weights):
+        acc = acc + img * w[..., None]
+        wsum = wsum + w
+    out = acc / jnp.maximum(wsum, 1e-6)[..., None]
+    return jnp.where((wsum > 1e-6)[..., None], out, 0.0), wsum > 1e-6

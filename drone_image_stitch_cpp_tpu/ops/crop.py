@@ -1,0 +1,45 @@
+"""Black-border autocrop.
+
+Capability parity: autoCropBlackBorder (reference: stitch_common.cpp:4-27) —
+gray threshold > 1, largest content bounding box, clone crop. For a mosaic
+the content is a single connected region, so the bounding box of all
+above-threshold pixels (row/col any-reductions) is the same rectangle the
+reference's largest-contour search returns; reductions vectorize on device
+where contour tracing would not.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .color import bgr_to_gray
+
+
+def content_bbox(img: jnp.ndarray, thresh: float = 1.0):
+    """Bounding box (y0, y1, x0, x1) of pixels with gray > thresh.
+
+    Returns traced int32 scalars; exclusive upper bounds. If the image is
+    entirely black, returns the full frame.
+    """
+    gray = bgr_to_gray(img) if img.ndim == 3 else img
+    mask = gray > thresh
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    h, w = mask.shape
+    ridx = jnp.arange(h, dtype=jnp.int32)
+    cidx = jnp.arange(w, dtype=jnp.int32)
+    any_content = jnp.any(mask)
+    y0 = jnp.where(any_content, jnp.min(jnp.where(rows, ridx, h)), 0)
+    y1 = jnp.where(any_content, jnp.max(jnp.where(rows, ridx, -1)) + 1, h)
+    x0 = jnp.where(any_content, jnp.min(jnp.where(cols, cidx, w)), 0)
+    x1 = jnp.where(any_content, jnp.max(jnp.where(cols, cidx, -1)) + 1, w)
+    return y0, y1, x0, x1
+
+
+def auto_crop_black_border(img_np: np.ndarray, thresh: float = 1.0
+                           ) -> np.ndarray:
+    """Host-side crop (dynamic output shape => runs after device fetch)."""
+    y0, y1, x0, x1 = (int(v) for v in content_bbox(jnp.asarray(img_np),
+                                                   thresh))
+    return np.ascontiguousarray(img_np[y0:y1, x0:x1])

@@ -1,0 +1,442 @@
+"""SIFT-class feature detection + 128-d descriptors, TPU-native.
+
+Capability parity target: cv::SIFT::create(nfeatures) used throughout the
+reference (stitch_robust.cpp:91,188; stitch_global.cpp:141;
+visual_flight_grouper.cpp:122) — repeatable scale/rotation-invariant
+keypoints with a per-image feature budget.
+
+Architecture (TPU-first, NOT a port of OpenCV's dynamic-shape code):
+  * fixed-capacity top-K keypoints per image + validity masks so every
+    downstream consumer (matcher, RANSAC, bundle adjust) sees static shapes;
+  * the scale-space (Gaussian + DoG stacks) is pure XLA convs (MXU-friendly);
+  * extrema detection is a 3x3x3 max/min-pool + compare over the whole stack
+    (vectorized, no per-pixel control flow);
+  * sub-pixel refinement, orientation histograms, and descriptors run as
+    vmapped per-candidate gather kernels (K candidates, static K).
+
+Descriptor: Lowe-style 4x4 spatial x 8 orientation bins from a rotated,
+scale-normalized 16x16 sample grid. Spatial trilinear weights are *fixed* for
+the grid, so soft-binning becomes one (256,8)x(256,16) matmul per keypoint —
+MXU work instead of scatter. Descriptors are L2-normalized, clipped at 0.2,
+renormalized, scaled by 512 (OpenCV's distance scale).
+
+Note: orientation assignment keeps a single dominant peak per keypoint
+(OpenCV may emit multiple keypoints for secondary peaks >= 0.8*max; with a
+fixed-K budget a single peak keeps shapes static; mosaic-level parity is the
+metric, per-keypoint parity is not).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gaussian import gaussian_blur
+from .resize import resize_linear
+
+# --- constants (OpenCV SIFT-compatible where applicable) -------------------
+_SIGMA0 = 1.6                 # base scale of octave layer 0
+_INIT_SIGMA = 0.5             # assumed blur of the input image
+_ORI_RADIUS_FACTOR = 4.5      # orientation patch radius = 4.5 * scale
+_ORI_SIG_FACTOR = 1.5         # orientation gaussian sigma = 1.5 * scale
+_ORI_BINS = 36
+_DESC_D = 4                   # 4x4 spatial bins
+_DESC_BINS = 8                # orientation bins
+_DESC_SAMPLES = 16            # 16x16 sample grid
+_DESC_HIST_WIDTH_FACTOR = 3.0  # bin width = 3 * scale (pixels)
+_DESC_MAG_CLIP = 0.2
+_DESC_SCALE = 512.0
+_MAX_REFINE_ITERS = 5
+
+
+class Features(NamedTuple):
+    """Fixed-capacity keypoint set for one image (or a batch, leading dims)."""
+
+    xy: jnp.ndarray        # (K, 2) float32 — x, y in input-image pixels
+    sigma: jnp.ndarray     # (K,) float32 — scale in input-image pixels
+    angle: jnp.ndarray     # (K,) float32 — orientation, radians, y-up
+    response: jnp.ndarray  # (K,) float32 — |refined DoG contrast|
+    desc: jnp.ndarray      # (K, 128) float32
+    valid: jnp.ndarray     # (K,) bool
+
+
+def num_octaves(h: int, w: int, upsample: bool) -> int:
+    """Octave count from image size (OpenCV formula, floor at 1)."""
+    m = min(h, w) * (2 if upsample else 1)
+    n = int(round(math.log2(max(m, 4)))) - 2
+    return max(1, n)
+
+
+def _layer_sigmas(n_layers: int) -> np.ndarray:
+    """Incremental blur to go from layer i to layer i+1 within an octave."""
+    k = 2.0 ** (1.0 / n_layers)
+    sig = np.zeros(n_layers + 3, dtype=np.float64)
+    sig[0] = _SIGMA0
+    out = np.zeros(n_layers + 3, dtype=np.float64)
+    for i in range(1, n_layers + 3):
+        prev = _SIGMA0 * (k ** (i - 1))
+        total = prev * k
+        out[i] = math.sqrt(total * total - prev * prev)
+    return out
+
+
+def build_scale_space(img: jnp.ndarray, n_layers: int, n_oct: int,
+                      upsample: bool):
+    """Return per-octave (gauss_stack, dog_stack).
+
+    gauss_stack: (n_layers+3, Ho, Wo); dog_stack: (n_layers+2, Ho, Wo).
+    """
+    h, w = img.shape
+    x = img.astype(jnp.float32)
+    if upsample:
+        x = resize_linear(x, h * 2, w * 2)
+        d = math.sqrt(max(_SIGMA0 ** 2 - (2 * _INIT_SIGMA) ** 2, 0.01))
+    else:
+        d = math.sqrt(max(_SIGMA0 ** 2 - _INIT_SIGMA ** 2, 0.01))
+    base = gaussian_blur(x, d)
+    incr = _layer_sigmas(n_layers)
+    octaves = []
+    for o in range(n_oct):
+        layers = [base]
+        for i in range(1, n_layers + 3):
+            layers.append(gaussian_blur(layers[-1], float(incr[i])))
+        g = jnp.stack(layers)
+        dog = g[1:] - g[:-1]
+        octaves.append((g, dog))
+        base = layers[n_layers][::2, ::2]
+    return octaves
+
+
+# --------------------------------------------------------------------------
+# candidate extraction
+# --------------------------------------------------------------------------
+
+def _extrema_candidates(dog: jnp.ndarray, prelim_thresh: float, k: int):
+    """Top-k 3D extrema of a DoG stack (S, H, W) -> (idx (k,3), score, valid).
+
+    A pixel is a candidate iff it equals the 3x3x3 neighborhood max (or min)
+    and |value| exceeds the preliminary contrast threshold. Border layers /
+    rows / cols are excluded so refinement gathers stay in-bounds.
+    """
+    s, h, w = dog.shape
+    mx = jax.lax.reduce_window(dog, -jnp.inf, jax.lax.max, (3, 3, 3),
+                               (1, 1, 1), "SAME")
+    mn = jax.lax.reduce_window(dog, jnp.inf, jax.lax.min, (3, 3, 3),
+                               (1, 1, 1), "SAME")
+    is_ext = ((dog >= mx) | (dog <= mn)) & (jnp.abs(dog) > prelim_thresh)
+    # exclude borders (1 px + first/last layer), matching refinement bounds
+    li = jax.lax.broadcasted_iota(jnp.int32, (s, h, w), 0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (s, h, w), 1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (s, h, w), 2)
+    border = ((li >= 1) & (li <= s - 2) & (yi >= 1) & (yi <= h - 2)
+              & (xi >= 1) & (xi <= w - 2))
+    score = jnp.where(is_ext & border, jnp.abs(dog), -1.0)
+    flat = score.reshape(-1)
+    k = min(k, flat.shape[0])  # tiny top octaves have fewer pixels than K
+    top, idx = jax.lax.top_k(flat, k)
+    ls = idx // (h * w)
+    ys = (idx % (h * w)) // w
+    xs = idx % w
+    valid = top > 0.0
+    return jnp.stack([ls, ys, xs], axis=-1).astype(jnp.int32), top, valid
+
+
+def _gather_cube(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
+                 x: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3) neighborhood around (s, y, x), clipped at borders."""
+    ds = jnp.arange(-1, 2)
+    ss = jnp.clip(s + ds[:, None, None], 0, dog.shape[0] - 1)
+    yy = jnp.clip(y + ds[None, :, None], 0, dog.shape[1] - 1)
+    xx = jnp.clip(x + ds[None, None, :], 0, dog.shape[2] - 1)
+    return dog[ss, yy, xx]
+
+
+def _refine_one(dog: jnp.ndarray, cand: jnp.ndarray, n_layers: int,
+                contrast_thresh: float, edge_thresh: float):
+    """Iterative sub-pixel refinement of one candidate (OpenCV-style).
+
+    Returns (layer f32, y f32, x f32, contrast, ok).
+    """
+    s0, y0, x0 = cand[0], cand[1], cand[2]
+    smax = dog.shape[0] - 2
+    ymax = dog.shape[1] - 2
+    xmax = dog.shape[2] - 2
+
+    def deriv(cube):
+        g = jnp.stack([
+            0.5 * (cube[1, 1, 2] - cube[1, 1, 0]),   # d/dx
+            0.5 * (cube[1, 2, 1] - cube[1, 0, 1]),   # d/dy
+            0.5 * (cube[2, 1, 1] - cube[0, 1, 1]),   # d/ds
+        ])
+        c = cube[1, 1, 1]
+        dxx = cube[1, 1, 2] + cube[1, 1, 0] - 2 * c
+        dyy = cube[1, 2, 1] + cube[1, 0, 1] - 2 * c
+        dss = cube[2, 1, 1] + cube[0, 1, 1] - 2 * c
+        dxy = 0.25 * (cube[1, 2, 2] - cube[1, 2, 0]
+                      - cube[1, 0, 2] + cube[1, 0, 0])
+        dxs = 0.25 * (cube[2, 1, 2] - cube[2, 1, 0]
+                      - cube[0, 1, 2] + cube[0, 1, 0])
+        dys = 0.25 * (cube[2, 2, 1] - cube[2, 0, 1]
+                      - cube[0, 2, 1] + cube[0, 0, 1])
+        hess = jnp.asarray([[dxx, dxy, dxs],
+                            [dxy, dyy, dys],
+                            [dxs, dys, dss]])
+        return g, hess, c, dxx, dyy, dxy
+
+    def body(_, st):
+        s, y, x, off, conv = st
+        cube = _gather_cube(dog, s, y, x)
+        g, hess, _, _, _, _ = deriv(cube)
+        # guarded 3x3 solve
+        det = jnp.linalg.det(hess)
+        safe = jnp.abs(det) > 1e-10
+        hs = jnp.where(safe, 1.0, 0.0) * hess + jnp.where(
+            safe, 0.0, 1.0) * jnp.eye(3, dtype=hess.dtype)
+        new_off = jnp.where(safe, -jnp.linalg.solve(hs, g), 10.0)
+        done = jnp.all(jnp.abs(new_off) < 0.5) & safe
+        step = jnp.where(conv, 0, jnp.round(new_off).astype(jnp.int32))
+        sn = jnp.clip(x + step[0], 1, xmax)
+        yn = jnp.clip(y + step[1], 1, ymax)
+        ln = jnp.clip(s + step[2], 1, smax)
+        return (jnp.where(conv | done, s, ln),
+                jnp.where(conv | done, y, yn),
+                jnp.where(conv | done, x, sn),
+                jnp.where(conv, off, new_off),
+                conv | done)
+
+    init = (s0, y0, x0, jnp.zeros(3, jnp.float32), jnp.asarray(False))
+    s, y, x, off, conv = jax.lax.fori_loop(0, _MAX_REFINE_ITERS, body, init)
+
+    cube = _gather_cube(dog, s, y, x)
+    g, hess, c, dxx, dyy, dxy = deriv(cube)
+    contrast = c + 0.5 * jnp.dot(g, off)
+    ok = conv
+    ok &= jnp.abs(contrast) * n_layers >= contrast_thresh
+    tr = dxx + dyy
+    det2 = dxx * dyy - dxy * dxy
+    r = edge_thresh
+    ok &= (det2 > 0) & (tr * tr * r < (r + 1) * (r + 1) * det2)
+    xf = x.astype(jnp.float32) + off[0]
+    yf = y.astype(jnp.float32) + off[1]
+    lf = s.astype(jnp.float32) + off[2]
+    ok &= (jnp.abs(off) < 1.5).all()
+    return lf, yf, xf, jnp.abs(contrast), ok
+
+
+# --------------------------------------------------------------------------
+# orientation
+# --------------------------------------------------------------------------
+
+def _orientation_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
+                     x: jnp.ndarray, scale: jnp.ndarray,
+                     patch_r: int) -> jnp.ndarray:
+    """Dominant gradient orientation (radians, y-up) for one keypoint.
+
+    ``gauss``: (S, H, W) octave Gaussian stack; coordinates in octave pixels.
+    Histogram = 36 bins, gaussian-weighted magnitudes within radius
+    4.5*scale, smoothed with the [1,4,6,4,1]/16 circular kernel; dominant
+    peak refined by parabolic interpolation.
+    """
+    h, w = gauss.shape[1], gauss.shape[2]
+    radius = jnp.round(_ORI_RADIUS_FACTOR * scale)
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+    d = jnp.arange(-patch_r, patch_r + 1)
+    dy_off = d[:, None]
+    dx_off = d[None, :]
+    yy = yi + dy_off
+    xx = xi + dx_off
+    inb = ((yy >= 1) & (yy <= h - 2) & (xx >= 1) & (xx <= w - 2)
+           & (jnp.abs(dy_off) <= radius) & (jnp.abs(dx_off) <= radius))
+    yc = jnp.clip(yy, 0, h - 1)
+    li = jnp.clip(layer, 0, gauss.shape[0] - 1)
+    img = gauss[li]
+    gx = 0.5 * (img[yc, jnp.clip(xx + 1, 0, w - 1)]
+                - img[yc, jnp.clip(xx - 1, 0, w - 1)])
+    gy = 0.5 * (img[jnp.clip(yy - 1, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+                - img[jnp.clip(yy + 1, 0, h - 1), jnp.clip(xx, 0, w - 1)])
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    sig = _ORI_SIG_FACTOR * scale
+    wgt = jnp.exp(-(dy_off.astype(jnp.float32) ** 2
+                    + dx_off.astype(jnp.float32) ** 2) / (2.0 * sig * sig))
+    contrib = jnp.where(inb, mag * wgt, 0.0)
+    ang = jnp.arctan2(gy, gx)  # y-up, [-pi, pi]
+    binf = (ang / (2.0 * jnp.pi)) * _ORI_BINS
+    bini = jnp.round(binf).astype(jnp.int32) % _ORI_BINS
+    onehot = (bini[..., None] == jnp.arange(_ORI_BINS)).astype(jnp.float32)
+    hist = jnp.sum(contrib[..., None] * onehot, axis=(0, 1))
+    # circular smooth [1,4,6,4,1]/16
+    hs = (jnp.roll(hist, 2) + jnp.roll(hist, -2)
+          + 4.0 * (jnp.roll(hist, 1) + jnp.roll(hist, -1))
+          + 6.0 * hist) / 16.0
+    b = jnp.argmax(hs)
+    l_ = hs[(b - 1) % _ORI_BINS]
+    c_ = hs[b]
+    r_ = hs[(b + 1) % _ORI_BINS]
+    denom = l_ - 2.0 * c_ + r_
+    interp = jnp.where(jnp.abs(denom) > 1e-12,
+                       0.5 * (l_ - r_) / jnp.where(
+                           jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
+    bin_pos = (b.astype(jnp.float32) + interp) % _ORI_BINS
+    return bin_pos * (2.0 * jnp.pi / _ORI_BINS)
+
+
+# --------------------------------------------------------------------------
+# descriptor
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _spatial_weights(n: int = _DESC_SAMPLES, d: int = _DESC_D) -> np.ndarray:
+    """Fixed (n*n, d*d) trilinear-spatial x gaussian weight matrix."""
+    step = d / float(n)  # bin units per sample
+    coords = (np.arange(n) + 0.5) * step - 0.5  # bin coordinate of sample
+    exp_scale = -2.0 / (d * d)  # OpenCV: -1/(d*d*0.5)
+    w = np.zeros((n * n, d * d), dtype=np.float32)
+    for iy in range(n):
+        for ix in range(n):
+            rb, cb = coords[iy], coords[ix]
+            # gaussian in bin units, centered
+            rc = rb - (d - 1) / 2.0
+            cc = cb - (d - 1) / 2.0
+            g = math.exp((rc * rc + cc * cc) * exp_scale)
+            for by in range(d):
+                for bx in range(d):
+                    wy = max(0.0, 1.0 - abs(rb - by))
+                    wx = max(0.0, 1.0 - abs(cb - bx))
+                    w[iy * n + ix, by * d + bx] = g * wy * wx
+    return w
+
+
+def _descriptor_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
+                    x: jnp.ndarray, scale: jnp.ndarray,
+                    angle: jnp.ndarray) -> jnp.ndarray:
+    """128-d descriptor from a rotated 16x16 sample grid (one keypoint)."""
+    h, w = gauss.shape[1], gauss.shape[2]
+    n = _DESC_SAMPLES
+    hist_width = _DESC_HIST_WIDTH_FACTOR * scale
+    spacing = hist_width * _DESC_D / float(n)
+    # y-down rotation by -angle (angle is y-up)
+    ca = jnp.cos(angle)
+    sa = jnp.sin(angle)
+    # sample grid (n+2) x (n+2) to allow central differences
+    m = n + 2
+    g = (jnp.arange(m, dtype=jnp.float32) - (m - 1) / 2.0)
+    u = g[None, :] * spacing
+    v = g[:, None] * spacing
+    # patch x-axis in image coords = (cos, -sin) [y-down], y-axis = (sin, cos)
+    sx = x + (ca * u + sa * v)
+    sy = y + (-sa * u + ca * v)
+    li = jnp.clip(layer, 0, gauss.shape[0] - 1)
+    img = gauss[li]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x0i + 1]
+    v10 = img[y0i + 1, x0i]
+    v11 = img[y0i + 1, x0i + 1]
+    patch = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+             + (v10 * (1 - fx) + v11 * fx) * fy)
+
+    gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
+    gy_down = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
+    mag = jnp.sqrt(gx * gx + gy_down * gy_down)
+    ang = jnp.arctan2(-gy_down, gx)  # y-up, keypoint frame
+    obin = (ang / (2.0 * jnp.pi)) * _DESC_BINS
+    o0 = jnp.floor(obin)
+    frac = obin - o0
+    o0i = o0.astype(jnp.int32) % _DESC_BINS
+    o1i = (o0i + 1) % _DESC_BINS
+    oh = jnp.arange(_DESC_BINS)
+    contrib = (mag[..., None]
+               * ((1.0 - frac)[..., None] * (o0i[..., None] == oh)
+                  + frac[..., None] * (o1i[..., None] == oh)))
+    contrib = contrib.reshape(n * n, _DESC_BINS)
+    wsp = jnp.asarray(_spatial_weights())  # (n*n, 16)
+    desc = jnp.einsum("so,sb->bo", contrib, wsp,
+                      preferred_element_type=jnp.float32).reshape(-1)
+    nrm = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
+    desc = jnp.minimum(desc / nrm, _DESC_MAG_CLIP)
+    nrm2 = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
+    return jnp.minimum(desc / nrm2 * _DESC_SCALE, 255.0)
+
+
+# --------------------------------------------------------------------------
+# top-level detect + describe
+# --------------------------------------------------------------------------
+
+def detect_and_describe(img: jnp.ndarray, max_kp: int,
+                        contrast_thresh: float = 0.04,
+                        edge_thresh: float = 10.0,
+                        n_layers: int = 3,
+                        upsample: bool = False) -> Features:
+    """Detect up to ``max_kp`` keypoints and compute descriptors.
+
+    ``img``: (H, W) float32 grayscale in [0, 255]. Returns Features with
+    static shapes (max_kp rows; invalid rows masked).
+    """
+    h, w = img.shape
+    n_oct = num_octaves(h, w, upsample)
+    prelim = 0.5 * contrast_thresh / n_layers * 255.0
+    contrast_abs = contrast_thresh * 255.0
+    octs = build_scale_space(img, n_layers, n_oct, upsample)
+    scale0 = 0.5 if upsample else 1.0
+
+    per_oct = []
+    # orientation patch radius for the largest within-octave scale
+    sig_max = _SIGMA0 * 2.0 ** ((n_layers + 0.5) / n_layers)
+    patch_r = int(math.ceil(_ORI_RADIUS_FACTOR * sig_max))
+    for o, (g, dog) in enumerate(octs):
+        cand, _, cvalid = _extrema_candidates(dog, prelim, max_kp)
+        lf, yf, xf, resp, ok = jax.vmap(
+            lambda c: _refine_one(dog, c, n_layers, contrast_abs,
+                                  edge_thresh))(cand)
+        ok = ok & cvalid
+        sig_loc = _SIGMA0 * 2.0 ** (lf / n_layers)
+        li = jnp.clip(jnp.round(lf).astype(jnp.int32), 1, n_layers)
+        ang = jax.vmap(
+            lambda l_, y_, x_, s_: _orientation_one(g, l_, y_, x_, s_,
+                                                    patch_r))(
+            li, yf, xf, sig_loc)
+        desc = jax.vmap(
+            lambda l_, y_, x_, s_, a_: _descriptor_one(g, l_, y_, x_, s_,
+                                                       a_))(
+            li, yf, xf, sig_loc, ang)
+        mult = scale0 * (2.0 ** o)
+        xy = jnp.stack([xf, yf], axis=-1) * mult
+        sigma = sig_loc * mult
+        per_oct.append((xy, sigma, ang, resp, desc, ok))
+
+    xy = jnp.concatenate([p[0] for p in per_oct])
+    sigma = jnp.concatenate([p[1] for p in per_oct])
+    ang = jnp.concatenate([p[2] for p in per_oct])
+    resp = jnp.concatenate([p[3] for p in per_oct])
+    desc = jnp.concatenate([p[4] for p in per_oct])
+    ok = jnp.concatenate([p[5] for p in per_oct])
+
+    score = jnp.where(ok, resp, -1.0)
+    k_sel = min(max_kp, score.shape[0])
+    _, idx = jax.lax.top_k(score, k_sel)
+    feats = Features(
+        xy=xy[idx], sigma=sigma[idx], angle=ang[idx],
+        response=resp[idx], desc=desc[idx],
+        valid=ok[idx] & (score[idx] > 0.0))
+    if k_sel < max_kp:  # pad to the static budget with invalid rows
+        pad = max_kp - k_sel
+        feats = Features(
+            xy=jnp.pad(feats.xy, ((0, pad), (0, 0))),
+            sigma=jnp.pad(feats.sigma, (0, pad)),
+            angle=jnp.pad(feats.angle, (0, pad)),
+            response=jnp.pad(feats.response, (0, pad)),
+            desc=jnp.pad(feats.desc, ((0, pad), (0, 0))),
+            valid=jnp.pad(feats.valid, (0, pad)))
+    return feats

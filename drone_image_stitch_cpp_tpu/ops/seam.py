@@ -1,0 +1,141 @@
+"""Seam finding: dynamic-programming optimal seams on overlap regions.
+
+Capability parity targets:
+  - detail::DpSeamFinder(COLOR_GRAD) (reference: stitch_robust.cpp:207 strip
+    pipeline; stitch_global.cpp:624-626 global fallback)
+  - detail::GraphCutSeamFinder(COST_COLOR_GRAD) at <=8MP seam scale
+    (reference: stitch_global.cpp:585-619). The DP seam below is the
+    always-available path (the reference itself falls back to it on
+    cv::Exception); a host graph-cut refinement can slot in behind the same
+    interface.
+
+TPU-first design: the forward DP recurrence over scanlines is a lax.scan
+whose per-row body is a vectorized 3-neighbor min; backtracking is a reverse
+scan with one dynamic gather per row. Cost = color difference + gradient
+difference (COLOR_GRAD analog). The seam axis (per-row vertical seam vs
+per-column horizontal seam) is a *static* argument decided by the caller
+from transform geometry, so both variants are one transposed kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIGCOST = 1e7
+
+
+def _color_grad_cost(img_a: jnp.ndarray, img_b: jnp.ndarray,
+                     overlap: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel seam cost inside the overlap; huge elsewhere."""
+    diff = jnp.sqrt(jnp.sum((img_a - img_b) ** 2, axis=-1) + 1e-6)
+    ga = img_a.mean(axis=-1)
+    gb = img_b.mean(axis=-1)
+
+    def grad_mag(g):
+        gx = jnp.zeros_like(g).at[:, 1:-1].set(
+            0.5 * (g[:, 2:] - g[:, :-2]))
+        gy = jnp.zeros_like(g).at[1:-1, :].set(
+            0.5 * (g[2:, :] - g[:-2, :]))
+        return jnp.abs(gx) + jnp.abs(gy)
+
+    gdiff = jnp.abs(grad_mag(ga) - grad_mag(gb))
+    cost = diff + gdiff
+    return jnp.where(overlap, cost, _BIGCOST)
+
+
+def _vertical_seam_path(cost: jnp.ndarray) -> jnp.ndarray:
+    """Min-cost top-to-bottom path; returns per-row x index (H,) int32."""
+    h, w = cost.shape
+    inf = jnp.float32(3e38)
+
+    def fwd(carry, row_cost):
+        prev = carry
+        left = jnp.concatenate([jnp.full((1,), inf), prev[:-1]])
+        right = jnp.concatenate([prev[1:], jnp.full((1,), inf)])
+        stacked = jnp.stack([left, prev, right])  # offsets -1, 0, +1
+        best = jnp.min(stacked, axis=0)
+        off = jnp.argmin(stacked, axis=0).astype(jnp.int8) - 1
+        cur = row_cost + best
+        return cur, (cur, off)
+
+    init = cost[0]
+    _, (acc, offs) = jax.lax.scan(fwd, init, cost[1:])
+    acc = jnp.concatenate([cost[0][None], acc])      # (H, W)
+    offs = jnp.concatenate([jnp.zeros((1, w), jnp.int8), offs])  # (H, W)
+
+    x_end = jnp.argmin(acc[h - 1]).astype(jnp.int32)
+
+    def bwd(x, row_off):
+        x_prev = jnp.clip(x + row_off[x].astype(jnp.int32), 0, w - 1)
+        return x_prev, x
+
+    # walk rows H-1 .. 1; the final carry is row 0's x
+    x0, xs_rev = jax.lax.scan(bwd, x_end, offs[::-1][:-1])
+    xs = xs_rev[::-1]
+    return jnp.concatenate([x0[None], xs])
+
+
+def pairwise_seam(img_a: jnp.ndarray, img_b: jnp.ndarray,
+                  mask_a: jnp.ndarray, mask_b: jnp.ndarray,
+                  axis: str = "vertical"):
+    """Partition the overlap of two canvas-frame images with a DP seam.
+
+    img_*: (H, W, 3) float32 (canvas frame, zeros outside masks)
+    mask_*: (H, W) bool
+    axis: "vertical" (one x per row; use when images are side-by-side) or
+          "horizontal" (one y per column; stacked images). Static.
+
+    Returns (new_mask_a, new_mask_b): disjoint on the overlap, unchanged
+    elsewhere. If there is no overlap, masks pass through.
+    """
+    if axis == "horizontal":
+        na, nb = pairwise_seam(
+            jnp.swapaxes(img_a, 0, 1), jnp.swapaxes(img_b, 0, 1),
+            jnp.swapaxes(mask_a, 0, 1), jnp.swapaxes(mask_b, 0, 1),
+            axis="vertical")
+        return jnp.swapaxes(na, 0, 1), jnp.swapaxes(nb, 0, 1)
+
+    h, w = mask_a.shape
+    overlap = mask_a & mask_b
+    has_overlap = jnp.any(overlap)
+    cost = _color_grad_cost(img_a, img_b, overlap)
+    seam_x = _vertical_seam_path(cost)  # (H,)
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # which side of the seam belongs to A: compare x-centroids of the masks
+    ca = jnp.sum(xs * mask_a.astype(jnp.float32)) / jnp.maximum(
+        mask_a.sum(), 1)
+    cb = jnp.sum(xs * mask_b.astype(jnp.float32)) / jnp.maximum(
+        mask_b.sum(), 1)
+    a_left = ca <= cb
+    left_of = xs <= seam_x[:, None]
+    a_side = jnp.where(a_left, left_of, ~left_of)
+
+    only_a = mask_a & ~mask_b
+    only_b = mask_b & ~mask_a
+    new_a = jnp.where(has_overlap, only_a | (overlap & a_side), mask_a)
+    new_b = jnp.where(has_overlap, only_b | (overlap & ~a_side), mask_b)
+    return new_a, new_b
+
+
+def find_seams_sequential(images: list[jnp.ndarray],
+                          masks: list[jnp.ndarray],
+                          axes: list[str] | None = None):
+    """Pairwise-sequential seam assignment over N canvas-frame images.
+
+    Mirrors the pairwise strategy of OpenCV's seam finders: for each ordered
+    pair (i, j), i < j, carve the overlap between the current masks. The
+    caller supplies per-adjacent-pair seam axes (from transform geometry);
+    non-adjacent pairs reuse the dominant axis.
+    """
+    n = len(images)
+    masks = list(masks)
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            ax = "vertical"
+            if axes is not None:
+                ax = axes[min(j - 1, len(axes) - 1)]
+            masks[i], masks[j] = pairwise_seam(
+                images[i], images[j], masks[i], masks[j], axis=ax)
+    return masks

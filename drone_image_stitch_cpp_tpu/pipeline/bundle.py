@@ -1,0 +1,102 @@
+"""Bundle adjustment over per-frame 4-DoF similarity transforms.
+
+Capability parity: detail::BundleAdjusterAffinePartial (reference:
+stitch_robust.cpp:199-201) — refine per-image transforms by minimizing
+match reprojection residuals across the pair graph.
+
+TPU-first observation: for the affine-partial (similarity) model the
+residuals  T_i(p) - T_j(q)  are *linear* in the stacked parameters
+(a_i, b_i, tx_i, ty_i), so the whole bundle adjust is one weighted linear
+least-squares solve — a single jitted normal-equations build (vectorized
+over all pairs and matches, scatter-add into the (4N, 4N) system) plus one
+dense solve. No iterative LM loop, no per-edge host logic. Gauge freedom is
+fixed with a strong prior pinning frame 0 to identity and a weak prior
+pulling every frame toward its chain initialization (which also anchors any
+frames weakly connected to the rest).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PIN_WEIGHT = 1e8     # frame-0 identity prior
+_INIT_WEIGHT = 1e-4   # weak pull toward the chain init
+
+
+def params_from_affine(t23: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2, 3) similarity transforms -> (N, 4) params (a, b, tx, ty)."""
+    return jnp.stack([t23[:, 0, 0], t23[:, 1, 0], t23[:, 0, 2],
+                      t23[:, 1, 2]], axis=-1)
+
+
+def affine_from_params(p: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) params -> (N, 2, 3) transforms."""
+    a, b, tx, ty = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    row0 = jnp.stack([a, -b, tx], axis=-1)
+    row1 = jnp.stack([b, a, ty], axis=-1)
+    return jnp.stack([row0, row1], axis=1)
+
+
+def _jac_blocks(pts: jnp.ndarray):
+    """Per-point Jacobian wrt (a, b, tx, ty): (..., 2 rows, 4 params)."""
+    x = pts[..., 0]
+    y = pts[..., 1]
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    jx = jnp.stack([x, -y, one, zero], axis=-1)
+    jy = jnp.stack([y, x, zero, one], axis=-1)
+    return jnp.stack([jx, jy], axis=-2)  # (..., 2, 4)
+
+
+def bundle_adjust_similarity(pair_idx: jnp.ndarray, pts_a: jnp.ndarray,
+                             pts_b: jnp.ndarray, w: jnp.ndarray,
+                             init_params: jnp.ndarray) -> jnp.ndarray:
+    """Solve for per-frame similarity transforms.
+
+    pair_idx: (P, 2) int32 frame indices (i, j) per pair
+    pts_a:    (P, K, 2) matched points in frame i
+    pts_b:    (P, K, 2) matched points in frame j
+    w:        (P, K) float32 match weights (inlier mask)
+    init_params: (N, 4) chain-initialized (a, b, tx, ty)
+
+    Returns (N, 2, 3) refined frame->reference transforms. Fully jittable
+    (static P, K, N).
+    """
+    n = init_params.shape[0]
+
+    ja = _jac_blocks(pts_a)          # (P, K, 2, 4)
+    jb = -_jac_blocks(pts_b)         # (P, K, 2, 4)
+
+    def blk(u, v):
+        # sum over matches and the 2 residual rows: (P, 4, 4)
+        return jnp.einsum("pkra,pkrb,pk->pab", u, v, w,
+                          preferred_element_type=jnp.float32)
+
+    m_aa = blk(ja, ja)
+    m_ab = blk(ja, jb)
+    m_ba = blk(jb, ja)
+    m_bb = blk(jb, jb)
+
+    ata = jnp.zeros((n, 4, n, 4), jnp.float32)
+    i_idx = pair_idx[:, 0]
+    j_idx = pair_idx[:, 1]
+    ata = ata.at[i_idx, :, i_idx, :].add(m_aa)
+    ata = ata.at[i_idx, :, j_idx, :].add(m_ab)
+    ata = ata.at[j_idx, :, i_idx, :].add(m_ba)
+    ata = ata.at[j_idx, :, j_idx, :].add(m_bb)
+    ata = ata.reshape(n * 4, n * 4)
+
+    atb = jnp.zeros((n * 4,), jnp.float32)
+
+    # priors: pin frame 0 to its init (identity gauge), weak pull elsewhere
+    prior_w = jnp.full((n,), _INIT_WEIGHT).at[0].set(_PIN_WEIGHT)
+    prior_diag = jnp.repeat(prior_w, 4)
+    ata = ata + jnp.diag(prior_diag)
+    atb = atb + prior_diag * init_params.reshape(-1)
+
+    sol = jnp.linalg.solve(ata, atb).reshape(n, 4)
+    return affine_from_params(sol)
+
+
+bundle_adjust_similarity_jit = jax.jit(bundle_adjust_similarity)

@@ -1,0 +1,355 @@
+"""Global inter-strip composition: custom mosaic composer.
+
+Capability parity: stitchInterStripsCustom (reference: stitch_global.cpp:
+386-675) — explicitly NOT a cv::Stitcher pipeline:
+  (a) pairwise strip alignment: grayscale + non-black masks (>2), <=2800 px
+      downscale, SIFT with the global feature budget, knn2 with adaptive
+      ratio, halved match/inlier minima, affine RANSAC(4.0) (:100-224);
+  (b) 4-candidate ROI grid per strip (full/left/right/center, >=120 px,
+      dedup) -> up-to-16 ROI-pair search keeping the best score, with
+      ROI-translation composition (:226-289);
+  (c) horizontal-flip hypothesis for reversed flight lines, chosen by
+      inliers then ratio (:401-421); hard error with diagnostics if neither
+      direct nor flipped alignment works (:422-428);
+  (d) transform chaining onto a global canvas (:430-458) and per-strip
+      warps with corner-relative affines (:463-486);
+  (e) warped content masks with the 0.999 bilinear-footprint rule
+      (:353-383);
+  (f) radiometric pre-equalization: per-overlap per-channel mean-ratio
+      gains clamped [0.8, 1.25], cumulative chaining, gain inheritance when
+      the overlap is too small, geometric-mean normalization, apply
+      skipping gains ~1 (:497-573);
+  (g) canvas-size-adaptive exposure compensation (:307-326);
+  (h) seam finding at <=8 MP (:583-630) — DP seam (the reference's own
+      fallback) with a graph-cut-style cost;
+  (i) blend bands max(max(5, cfg), ceil(log2(maxdim))-1) capped 12, and
+      multiband blending with soft (sigma=10) feathered seam masks
+      (:632-666);
+  (j) wall-clock stage timing (:390, :667-670).
+
+TPU-first structure: alignment hypotheses (direct + flipped, then ROI
+pairs) are independent jitted estimates scored on device; all radiometric /
+seam work happens once on a <=8 MP seam-scale canvas; full resolution is
+touched only by streamed ROI warps feeding the shared canvas pyramid.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.tuning import StitchTuning
+from ..ops import blend as B
+from ..ops import exposure as E
+from ..ops import match as M
+from ..ops import ransac as R
+from ..ops import seam as S
+from ..ops.color import bgr_to_gray, nonblack_mask
+from ..ops.gaussian import gaussian_blur
+from ..ops.resize import scale_for_max_dim
+from ..ops.transform import compose_affine, transformed_bbox
+from ..ops.warp import warp_affine, warp_content_mask
+from ..runtime.logging import get_logger
+from .registration import detect_features
+
+_MAX_ALIGN_DIM = 2800       # reference :119
+_ROI_MIN_WIDTH = 120        # reference :226-259
+_SEAM_CANVAS_MP = 8.0       # reference :585
+_GAIN_CLAMP = (0.8, 1.25)   # reference :497-549
+_GAIN_MIN_OVERLAP = 400     # inheritance threshold (overlap too small)
+_SOFT_MASK_SIGMA = 10.0     # reference :345
+
+
+class GlobalStitchError(RuntimeError):
+    pass
+
+
+@dataclass
+class PairAffineEstimate:
+    """Reference: PairAffineEstimate (stitch_global.cpp:32-39)."""
+
+    ok: bool
+    model: Optional[np.ndarray]  # (3,3) cur -> ref, full-res strip coords
+    inliers: int = 0
+    matches: int = 0
+    ratio: float = 0.0
+
+    @property
+    def score(self) -> float:
+        return self.inliers + 20.0 * self.ratio + 0.02 * self.matches
+
+
+def _estimate_pair_affine(ref: np.ndarray, cur: np.ndarray,
+                          tuning: StitchTuning,
+                          seed: int) -> PairAffineEstimate:
+    """Single alignment hypothesis between two strip images."""
+    h_r, w_r = ref.shape[:2]
+    h_c, w_c = cur.shape[:2]
+    # shared work resolution so one detect batch serves both
+    mdim = max(h_r, w_r, h_c, w_c)
+    sc = scale_for_max_dim(mdim, mdim, _MAX_ALIGN_DIM)
+    mpx_r = h_r * w_r * sc * sc / 1e6
+    # strips differ in size -> detect separately (different buckets)
+    f_ref, s_ref = detect_features([ref], tuning.global_sift_features, mpx_r)
+    mpx_c = h_c * w_c * sc * sc / 1e6
+    f_cur, s_cur = detect_features([cur], tuning.global_sift_features, mpx_c)
+    ratio = float(M.adaptive_ratio(tuning.match_conf))
+    m = M.knn2_ratio(f_cur.desc[0], f_cur.valid[0], f_ref.desc[0],
+                     f_ref.valid[0], ratio)
+    src, dst, good = M.gather_correspondences(f_cur.xy[0], f_ref.xy[0], m)
+    n_good = int(m.good.sum())
+    if n_good < max(2, tuning.min_good_matches // 2):  # halved gate (:170)
+        return PairAffineEstimate(ok=False, model=None, matches=n_good)
+    res = R.estimate_affine2d(src, dst, good, jax.random.PRNGKey(seed),
+                              thresh=4.0 / max(s_cur, 1e-6))
+    n_inl = int(res.n_inliers)
+    if not bool(res.ok) or n_inl < max(2, tuning.min_inliers // 2):  # :201
+        return PairAffineEstimate(ok=False, model=None, matches=n_good,
+                                  inliers=n_inl)
+    return PairAffineEstimate(
+        ok=True, model=np.asarray(res.model), inliers=n_inl,
+        matches=n_good, ratio=n_inl / max(1, n_good))
+
+
+def _roi_candidates(h: int, w: int) -> List[Tuple[int, int]]:
+    """Full / left / right / center x-ranges (reference :226-259)."""
+    cands = [(0, w)]
+    half = w // 2
+    if half >= _ROI_MIN_WIDTH:
+        cands.extend([(0, half), (w - half, w)])
+        quarter = w // 4
+        if w - 2 * quarter >= _ROI_MIN_WIDTH:
+            cands.append((quarter, w - quarter))
+    dedup = []
+    for c in cands:
+        if c not in dedup:
+            dedup.append(c)
+    return dedup
+
+
+def _estimate_with_roi_search(ref: np.ndarray, cur: np.ndarray,
+                              tuning: StitchTuning,
+                              seed: int) -> PairAffineEstimate:
+    """Best alignment over ROI pairs; composes ROI translations (:261-289)."""
+    best = _estimate_pair_affine(ref, cur, tuning, seed)
+    if best.ok and best.inliers >= 2 * tuning.min_inliers:
+        return best  # strong full-frame alignment; skip the grid
+    for rx0, rx1 in _roi_candidates(*ref.shape[:2][::-1])[1:] or []:
+        for cx0, cx1 in _roi_candidates(*cur.shape[:2][::-1]):
+            est = _estimate_pair_affine(ref[:, rx0:rx1], cur[:, cx0:cx1],
+                                        tuning, seed)
+            if not est.ok:
+                continue
+            # compose ROI translations: cur -> roi -> ref-roi -> ref
+            t_ref = np.asarray([[1, 0, rx0], [0, 1, 0], [0, 0, 1]],
+                               np.float32)
+            t_cur = np.asarray([[1, 0, -cx0], [0, 1, 0], [0, 0, 1]],
+                               np.float32)
+            est.model = t_ref @ est.model @ t_cur
+            if not best.ok or est.score > best.score:
+                best = est
+    return best
+
+
+def _flip_affine(w: int) -> np.ndarray:
+    return np.asarray([[-1, 0, w - 1.0], [0, 1, 0], [0, 0, 1]], np.float32)
+
+
+def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
+                 seed: int = 0) -> Tuple[List[np.ndarray], List[bool]]:
+    """Chained global transforms per strip + flip flags (:400-437)."""
+    log = get_logger()
+    n = len(strips)
+    transforms = [np.eye(3, dtype=np.float32)]
+    flipped = [False]
+    oriented_prev = strips[0]
+    for i in range(1, n):
+        cur = strips[i]
+        direct = _estimate_with_roi_search(oriented_prev, cur, tuning,
+                                           seed + i)
+        cur_flip = cur[:, ::-1].copy()
+        flip_est = _estimate_with_roi_search(oriented_prev, cur_flip, tuning,
+                                             seed + i + 1000)
+        # choose by inliers then ratio (:406-421)
+        use_flip = flip_est.ok and (
+            not direct.ok
+            or (flip_est.inliers, flip_est.ratio) > (direct.inliers,
+                                                     direct.ratio))
+        est = flip_est if use_flip else direct
+        if not est.ok:
+            raise GlobalStitchError(
+                f"strip {i} alignment failed: direct(inl={direct.inliers}, "
+                f"m={direct.matches}) flipped(inl={flip_est.inliers}, "
+                f"m={flip_est.matches})")
+        model = est.model
+        if use_flip:
+            model = model @ _flip_affine(cur.shape[1])
+        log.log("GlobalCustom", f"strip {i} aligned", flipped=use_flip,
+                inliers=est.inliers, matches=est.matches,
+                ratio=round(est.ratio, 3))
+        transforms.append((transforms[i - 1] @ model).astype(np.float32))
+        flipped.append(bool(use_flip))
+        oriented_prev = cur_flip if use_flip else cur
+    return transforms, flipped
+
+
+def _gain_chain(seam_imgs: List[jnp.ndarray], seam_masks: List[jnp.ndarray],
+                n: int) -> np.ndarray:
+    """Cumulative clamped mean-ratio gains + geo-mean norm (:497-573)."""
+    log = get_logger()
+    gains = np.ones((n, 3), np.float32)
+    for i in range(1, n):
+        overlap = seam_masks[i] & seam_masks[i - 1]
+        cnt = int(jnp.sum(overlap))
+        if cnt < _GAIN_MIN_OVERLAP:
+            gains[i] = gains[i - 1]  # inheritance (:507-529)
+            log.log("GlobalCustom", f"gain inherit strip {i}", overlap=cnt)
+            continue
+        of = overlap[..., None]
+        ref_mean = np.asarray(jnp.sum(
+            jnp.where(of, seam_imgs[i - 1], 0.0), axis=(0, 1))) / cnt
+        cur_mean = np.asarray(jnp.sum(
+            jnp.where(of, seam_imgs[i], 0.0), axis=(0, 1))) / cnt
+        ratio = (ref_mean * gains[i - 1]) / np.maximum(cur_mean, 1e-3)
+        ratio = np.clip(ratio, *_GAIN_CLAMP)
+        gains[i] = ratio
+        log.log("GlobalCustom", f"gain strip {i}",
+                gains=np.round(ratio, 3).tolist(), overlap=cnt)
+    # geometric-mean normalization (:551-556)
+    geo = np.exp(np.log(np.maximum(gains, 1e-6)).mean(axis=0))
+    gains = gains / geo
+    return gains
+
+
+def stitch_inter_strips_custom(strips: List[np.ndarray],
+                               tuning: Optional[StitchTuning] = None,
+                               seed: int = 0) -> np.ndarray:
+    """Compose strip panoramas into one mosaic (reference :386-675)."""
+    log = get_logger()
+    t_start = time.perf_counter()
+    tuning = tuning or StitchTuning()
+    n = len(strips)
+    if n < 2:
+        raise GlobalStitchError("need at least 2 strips")
+
+    transforms, _ = align_strips(strips, tuning, seed)
+
+    # canvas bbox over transformed corners (:439-458)
+    boxes = []
+    for st, t in zip(strips, transforms):
+        boxes.append(tuple(float(v) for v in transformed_bbox(
+            jnp.asarray(t[:2, :]), st.shape[0], st.shape[1])))
+    x0 = min(b[0] for b in boxes)
+    y0 = min(b[1] for b in boxes)
+    x1 = max(b[2] for b in boxes)
+    y1 = max(b[3] for b in boxes)
+    canvas_w = int(math.ceil(x1 - x0)) + 1
+    canvas_h = int(math.ceil(y1 - y0)) + 1
+    log.log("GlobalCustom", "canvas", h=canvas_h, w=canvas_w)
+    shift = np.asarray([[1, 0, -x0], [0, 1, -y0]], np.float32)
+    t_canvas = [np.asarray(compose_affine(jnp.asarray(shift),
+                                          jnp.asarray(t[:2, :])))
+                for t in transforms]
+
+    # ---- seam-scale canvas (<=8 MP) --------------------------------------
+    seam_scale = min(1.0, math.sqrt(_SEAM_CANVAS_MP * 1e6
+                                    / (canvas_h * canvas_w)))
+    sh = max(1, int(round(canvas_h * seam_scale)))
+    sw = max(1, int(round(canvas_w * seam_scale)))
+    ssc = np.diag([seam_scale, seam_scale]).astype(np.float32)
+    log.log("GlobalCustom", "seam scale", scale=round(seam_scale, 4),
+            h=sh, w=sw)
+
+    seam_imgs, seam_masks = [], []
+    for i in range(n):
+        ts = jnp.asarray((ssc @ t_canvas[i]).astype(np.float32))
+        img32 = jnp.asarray(strips[i].astype(np.float32))
+        seam_imgs.append(warp_affine(img32, ts, sh, sw))
+        seam_masks.append(warp_content_mask(
+            nonblack_mask(img32, 2.0), ts, sh, sw,
+            footprint_thresh=0.999))
+
+    # ---- radiometric pre-equalization (:497-573) -------------------------
+    gains = _gain_chain(seam_imgs, seam_masks, n)
+
+    # ---- canvas-size-adaptive exposure compensation (:307-326) -----------
+    canvas_mp = canvas_h * canvas_w / 1e6
+    comp_gains = np.ones((n, 3), np.float32)
+    if canvas_mp <= 120.0:
+        comp = E.channels_compensate(
+            jnp.stack([im * jnp.asarray(g) for im, g in zip(seam_imgs,
+                                                            gains)]),
+            jnp.stack(seam_masks), similarity_thresh=0.95)
+        comp_gains = np.asarray(comp)
+        log.log("GlobalCustom", "exposure", kind="channels",
+                gains=np.round(comp_gains, 3).tolist())
+    elif canvas_mp <= 400.0:
+        comp = E.gain_compensate_scalar(
+            jnp.stack([(im * jnp.asarray(g)).mean(axis=-1)
+                       for im, g in zip(seam_imgs, gains)]),
+            jnp.stack(seam_masks), similarity_thresh=0.95)
+        comp_gains = np.repeat(np.asarray(comp)[:, None], 3, axis=1)
+        log.log("GlobalCustom", "exposure", kind="gain")
+    else:
+        log.log("GlobalCustom", "exposure", kind="none")
+
+    total_gains = gains * comp_gains
+
+    # ---- seams on the seam-scale canvas (:583-630) -----------------------
+    comp_imgs = [im * jnp.asarray(g) for im, g in zip(seam_imgs,
+                                                      total_gains)]
+    axes = []
+    for i in range(n - 1):
+        dt = t_canvas[i + 1][:, 2] - t_canvas[i][:, 2]
+        axes.append("vertical" if abs(dt[0]) >= abs(dt[1])
+                    else "horizontal")
+    seam_out = S.find_seams_sequential(comp_imgs, list(seam_masks), axes)
+
+    # ---- multiband blend with soft masks (:632-666) ----------------------
+    bands = B.num_blend_bands(tuning.blend_bands, canvas_h, canvas_w)
+    log.log("GlobalCustom", "blend", bands=bands)
+    canvas = B.mb_prepare(canvas_h, canvas_w, bands)
+    feed = jax.jit(B.mb_feed, donate_argnums=0)
+    ch = canvas.wacc[0].shape[0]
+    cw = canvas.wacc[0].shape[1]
+
+    for i in range(n):
+        bx0, by0 = boxes[i][0] - x0, boxes[i][1] - y0
+        bx1, by1 = boxes[i][2] - x0, boxes[i][3] - y0
+        tlx, tly, rw_, rh_ = B.aligned_roi(bx0, by0, bx1, by1, bands, ch, cw)
+        rw_b = B.align_down(min(B.align_up(rw_, 256), cw - tlx), 1 << bands)
+        rh_b = B.align_down(min(B.align_up(rh_, 256), ch - tly), 1 << bands)
+        t_roi = np.asarray([[1, 0, -tlx], [0, 1, -tly]], np.float32)
+        t_full = jnp.asarray(np.asarray(compose_affine(
+            jnp.asarray(t_roi), jnp.asarray(t_canvas[i]))))
+        img32 = jnp.asarray(strips[i].astype(np.float32))
+        img32 = img32 * jnp.asarray(total_gains[i])
+        wimg = warp_affine(img32, t_full, rh_b, rw_b)
+        cmask = warp_content_mask(nonblack_mask(img32, 2.0), t_full,
+                                  rh_b, rw_b, footprint_thresh=0.999)
+        # soft feathered seam mask (sigma=10, :332-351)
+        sroi = _mask_roi_upsample(seam_out[i], tlx, tly, rh_b, rw_b,
+                                  seam_scale)
+        soft = gaussian_blur(sroi, _SOFT_MASK_SIGMA)
+        weight = jnp.where(cmask, soft, 0.0)
+        canvas = feed(canvas, wimg, weight, tlx, tly)
+
+    out, _ = B.mb_blend(canvas, canvas_h, canvas_w)
+    result = np.asarray(out).astype(np.uint8)
+    log.log("GlobalCustom", "composed",
+            seconds=round(time.perf_counter() - t_start, 2))
+    return result
+
+
+def _mask_roi_upsample(mask: jnp.ndarray, tlx: int, tly: int, rh: int,
+                       rw: int, seam_scale: float) -> jnp.ndarray:
+    from ..ops.transform import invert_affine
+    a = jnp.asarray([[seam_scale, 0.0, -tlx * seam_scale],
+                     [0.0, seam_scale, -tly * seam_scale]], jnp.float32)
+    return warp_affine(mask.astype(jnp.float32), invert_affine(a), rh, rw)

@@ -1,0 +1,302 @@
+"""N-frame strip stitching: the cv::Stitcher SCANS-mode pipeline, rebuilt.
+
+Capability parity: stitchRobustly / stitchWithMode / createConfiguredStitcher
+(reference: stitch_robust.cpp:174-271,337-376): banded pair schedule
+(range_width), pair confidence graph + biggest-component filter
+(pano_conf_thresh), affine-partial bundle adjustment, affine warping, DP
+seams at seam resolution, blocks-gain exposure compensation, multiband
+blending — plus the robustness ladder: pair-diagnostics gates for 2-frame
+jobs, a sequential anchor-window fallback (stitch_robust.cpp:273-334), and
+score-based gating instead of exception sniffing.
+
+TPU-first structure: one batched detect over all frames, one chunked-vmapped
+match+RANSAC over the banded schedule, one linear-LS bundle adjust, then a
+streamed compose (per-frame ROI warp -> shared canvas pyramid) that never
+materializes per-frame canvases.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.tuning import StitchTuning
+from ..ops import blend as B
+from ..ops import exposure as E
+from ..ops import match as M
+from ..ops import seam as S
+from ..ops.color import apply_channel_gains, nonblack_mask
+from ..ops.resize import resize_area, resize_linear, scale_for_megapixels
+from ..ops.transform import compose_affine, h3_to_affine, transformed_bbox
+from ..ops.warp import warp_affine, warp_content_mask
+from ..runtime.logging import get_logger
+from .bundle import bundle_adjust_similarity_jit, params_from_affine
+from .pairgraph import (PairGraph, banded_pairs, all_pairs,
+                        biggest_component, chain_init, register_pairs)
+from .registration import detect_features
+
+_LOWE_RATIO = 0.75
+
+
+class StripStitchError(RuntimeError):
+    """Raised when both the joint and the sequential paths fail."""
+
+
+def _scale_transform(t33: np.ndarray, s: float) -> np.ndarray:
+    """Rescale a transform estimated at work scale to full resolution."""
+    sc = np.diag([s, s, 1.0]).astype(np.float32)
+    return sc @ t33 @ np.linalg.inv(sc)
+
+
+def estimate_strip_transforms(images: List[np.ndarray],
+                              tuning: StitchTuning,
+                              range_width: Optional[int] = None,
+                              matching_mask: Optional[np.ndarray] = None,
+                              stage: str = "Strip", seed: int = 0):
+    """Registration: features -> banded pair graph -> component -> BA.
+
+    Returns (kept_indices, transforms (n_kept, 2, 3) frame->frame0, graph).
+    """
+    log = get_logger()
+    n = len(images)
+    rw = range_width if range_width is not None else tuning.range_width
+    feats, scale = detect_features(images, tuning.sift_features,
+                                   tuning.registration_resol_mpx)
+    if matching_mask is not None:
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
+                 if matching_mask[i, j] or matching_mask[j, i]]
+    elif tuning.use_range_matcher:
+        pairs = banded_pairs(n, rw)
+    else:
+        pairs = all_pairs(n)
+    if not pairs:
+        raise StripStitchError(f"{stage}: empty pair schedule")
+
+    graph = register_pairs(feats, pairs, _LOWE_RATIO, thresh=4.0 / scale,
+                           kind="similarity", seed=seed)
+    conf = np.asarray(graph.conf)
+    ok = np.asarray(graph.ok)
+    keep = ok & (conf >= tuning.pano_conf_thresh)
+    log.log(stage, "pair graph", pairs=len(pairs), kept=int(keep.sum()),
+            mean_conf=float(conf[ok].mean()) if ok.any() else 0.0)
+
+    comp = biggest_component(n, graph.pairs, keep)
+    if len(comp) < 2:
+        raise StripStitchError(
+            f"{stage}: pair graph too weak (component={len(comp)})")
+    comp_set = set(comp)
+
+    # chain init over kept edges, then bundle adjust on inlier matches
+    models = np.asarray(graph.model)
+    init_t = chain_init(n, graph.pairs, models, keep, conf)
+
+    if tuning.use_affine_bundle:
+        pair_keep = [k for k, (i, j) in enumerate(graph.pairs)
+                     if keep[k] and int(i) in comp_set and int(j) in comp_set]
+        pk = jnp.asarray(np.asarray(pair_keep, np.int32))
+        init_params = params_from_affine(
+            jnp.asarray(init_t[:, :2, :]))
+        refined = bundle_adjust_similarity_jit(
+            jnp.asarray(graph.pairs)[pk], graph.pts_a[pk], graph.pts_b[pk],
+            graph.w[pk], init_params)
+        transforms = np.asarray(refined)
+    else:
+        transforms = init_t[:, :2, :]
+
+    kept = sorted(comp_set)
+    return kept, transforms[np.asarray(kept)], graph
+
+
+def _axes_from_transforms(transforms: np.ndarray) -> List[str]:
+    """Seam axis per adjacent pair from the dominant translation."""
+    axes = []
+    for i in range(len(transforms) - 1):
+        dt = transforms[i + 1][:, 2] - transforms[i][:, 2]
+        axes.append("vertical" if abs(dt[0]) >= abs(dt[1]) else "horizontal")
+    return axes
+
+
+def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
+                  tuning: StitchTuning, stage: str = "Strip") -> np.ndarray:
+    """Warp + seam + gain + multiband blend at full resolution.
+
+    ``transforms``: (N, 2, 3) frame->reference affines (full-res units).
+    """
+    log = get_logger()
+    n = len(images)
+    h, w = images[0].shape[:2]
+
+    # canvas bbox over all transformed corners
+    boxes = [np.asarray(transformed_bbox(jnp.asarray(t), im.shape[0],
+                                         im.shape[1]))
+             for t, im in zip(jnp.asarray(transforms), images)]
+    x0 = min(float(b[0]) for b in boxes)
+    y0 = min(float(b[1]) for b in boxes)
+    x1 = max(float(b[2]) for b in boxes)
+    y1 = max(float(b[3]) for b in boxes)
+    canvas_w = int(np.ceil(x1 - x0)) + 1
+    canvas_h = int(np.ceil(y1 - y0)) + 1
+    shift = np.asarray([[1, 0, -x0], [0, 1, -y0]], np.float32)
+    t_canvas = [np.asarray(compose_affine(jnp.asarray(shift),
+                                          jnp.asarray(t)))
+                for t in transforms]
+    log.log(stage, "canvas", h=canvas_h, w=canvas_w)
+
+    # ---- seam scale work -------------------------------------------------
+    seam_scale = scale_for_megapixels(h, w, tuning.seam_estimation_resol_mpx)
+    sh = max(1, int(round(canvas_h * seam_scale)))
+    sw = max(1, int(round(canvas_w * seam_scale)))
+    ssc = np.diag([seam_scale, seam_scale]).astype(np.float32)
+
+    seam_imgs = []
+    seam_masks = []
+    for i in range(n):
+        ts = (ssc @ t_canvas[i]).astype(np.float32)
+        img32 = jnp.asarray(images[i].astype(np.float32))
+        simg = warp_affine(img32, jnp.asarray(ts), sh, sw)
+        smask = warp_content_mask(
+            nonblack_mask(img32, -1.0), jnp.asarray(ts), sh, sw,
+            footprint_thresh=0.5)
+        seam_imgs.append(simg)
+        seam_masks.append(smask)
+
+    # exposure compensation stats at seam scale
+    gains = None
+    if tuning.use_blocks_gain:
+        intens = jnp.stack([im.mean(axis=-1) for im in seam_imgs])
+        masks = jnp.stack(seam_masks)
+        gains = np.asarray(E.gain_compensate_scalar(intens, masks))
+        log.log(stage, "gains", gains=np.round(gains, 3).tolist())
+
+    axes = _axes_from_transforms(np.asarray(transforms))
+    seam_masks = S.find_seams_sequential(seam_imgs, seam_masks, axes)
+
+    # ---- full-res compose: ROI warp -> canvas pyramid --------------------
+    bands = B.num_blend_bands(tuning.blend_bands, canvas_h, canvas_w)
+    canvas = B.mb_prepare(canvas_h, canvas_w, bands)
+    feed = jax.jit(B.mb_feed, donate_argnums=0,
+                   static_argnames=())
+
+    for i in range(n):
+        bx0, by0, bx1, by1 = boxes[i][0] - x0, boxes[i][1] - y0, \
+            boxes[i][2] - x0, boxes[i][3] - y0
+        tlx, tly, rw_, rh_ = B.aligned_roi(
+            float(bx0), float(by0), float(bx1), float(by1), bands,
+            canvas.wacc[0].shape[0], canvas.wacc[0].shape[1])
+        # bucket ROI dims to limit recompiles
+        rw_b = min(B.align_up(rw_, 256), canvas.wacc[0].shape[1] - tlx)
+        rh_b = min(B.align_up(rh_, 256), canvas.wacc[0].shape[0] - tly)
+        rw_b = B.align_down(rw_b, 1 << bands)
+        rh_b = B.align_down(rh_b, 1 << bands)
+
+        t_roi = (np.asarray([[1, 0, -tlx], [0, 1, -tly]], np.float32))
+        t_full = np.asarray(compose_affine(jnp.asarray(t_roi),
+                                           jnp.asarray(t_canvas[i])))
+        img32 = jnp.asarray(images[i].astype(np.float32))
+        if gains is not None:
+            img32 = img32 * jnp.float32(gains[i])
+        wimg = warp_affine(img32, jnp.asarray(t_full), rh_b, rw_b)
+        # seam mask upsampled from seam scale into the ROI
+        smask_roi = _upsample_mask_roi(seam_masks[i], tlx, tly, rh_b, rw_b,
+                                       seam_scale)
+        cmask = warp_content_mask(nonblack_mask(img32, -1.0),
+                                  jnp.asarray(t_full), rh_b, rw_b,
+                                  footprint_thresh=0.5)
+        weight = smask_roi * cmask.astype(jnp.float32)
+        canvas = feed(canvas, wimg, weight, tlx, tly)
+
+    out, valid = B.mb_blend(canvas, canvas_h, canvas_w)
+    return np.asarray(out).astype(np.uint8)
+
+
+def _upsample_mask_roi(seam_mask: jnp.ndarray, tlx: int, tly: int,
+                       rh: int, rw: int, seam_scale: float) -> jnp.ndarray:
+    """Bilinearly upsample a seam-scale mask into a full-res canvas ROI."""
+    a = jnp.asarray([[seam_scale, 0.0, -tlx * seam_scale],
+                     [0.0, seam_scale, -tly * seam_scale]], jnp.float32)
+    # a maps ROI full-res coords -> seam-scale coords, so warp with inverse
+    from ..ops.transform import invert_affine
+    return warp_affine(seam_mask.astype(jnp.float32),
+                       invert_affine(a), rh, rw)
+
+
+def stitch_strip(images: List[np.ndarray],
+                 tuning: Optional[StitchTuning] = None,
+                 stage: str = "Strip",
+                 range_width_override: Optional[int] = None,
+                 image_tags: Optional[Sequence[str]] = None,
+                 matching_mask: Optional[np.ndarray] = None,
+                 seed: int = 0) -> np.ndarray:
+    """Robust strip stitch with the reference's fallback ladder.
+
+    Reference: stitchRobustly (stitch_robust.cpp:337-376): joint stitch
+    first; on failure (and only when no matching mask was supplied,
+    stitch_robust.cpp:360-364) fall back to sequential incremental
+    stitching with an anchor window.
+    """
+    log = get_logger()
+    tuning = tuning or StitchTuning()
+    n = len(images)
+    if n == 0:
+        raise StripStitchError(f"{stage}: need at least one image")
+    if n == 1:
+        return images[0].copy()
+    if image_tags:
+        plan = ", ".join(f"{a}->{b}" for a, b in zip(image_tags,
+                                                     image_tags[1:]))
+        log.log(stage, "plan", pairs=plan)
+
+    try:
+        kept, transforms, _ = estimate_strip_transforms(
+            images, tuning, range_width_override, matching_mask, stage, seed)
+        imgs = [images[i] for i in kept]
+        if len(kept) < n:
+            log.log(stage, "dropped weak frames",
+                    dropped=[i for i in range(n) if i not in set(kept)])
+        return compose_strip(imgs, transforms, tuning, stage)
+    except StripStitchError as err:
+        log.log(stage, "joint stitch failed", error=str(err))
+        if matching_mask is not None:
+            raise  # reference: no fallback when a mask was supplied
+        if not tuning.use_anchor_fallback:
+            raise
+    return _stitch_sequential(images, tuning, stage, seed)
+
+
+def _stitch_sequential(images: List[np.ndarray], tuning: StitchTuning,
+                       stage: str, seed: int) -> np.ndarray:
+    """Left-fold incremental stitch with a sliding anchor window.
+
+    Reference: stitchSequentially (stitch_robust.cpp:273-334): try an
+    anchor batch [current, anchors..., next] first, then the bare pair.
+    """
+    from collections import deque
+
+    log = get_logger()
+    current = images[0]
+    anchors: deque = deque(maxlen=max(1, tuning.anchor_window))
+    for i in range(1, len(images)):
+        batch = None
+        if tuning.use_anchor_fallback and anchors:
+            batch = [current, *list(anchors), images[i]]
+        done = False
+        for attempt, imgs in enumerate(
+                ([batch] if batch else []) + [[current, images[i]]]):
+            try:
+                kept, transforms, _ = estimate_strip_transforms(
+                    imgs, tuning, range_width_override=len(imgs),
+                    stage=f"{stage}/seq{i}", seed=seed + i)
+                current = compose_strip([imgs[k] for k in kept], transforms,
+                                        tuning, f"{stage}/seq{i}")
+                done = True
+                break
+            except StripStitchError:
+                continue
+        if not done:
+            raise StripStitchError(
+                f"{stage}: sequential stitch failed at frame {i}")
+        anchors.append(images[i])
+    return current

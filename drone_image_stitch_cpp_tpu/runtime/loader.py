@@ -1,0 +1,109 @@
+"""Image ingest: directory scan, decode, ID extraction.
+
+Capability parity: ImageLoader::load / loadWithIds (reference:
+image_loader.cpp:28-61, 63-95) — case-insensitive extension filter,
+lexicographic filename sort, decode-failure skipping, ID = filename prefix
+before the first '_' (else the stem), minimum-count guards.
+
+The decode itself prefers the native C extension (native/decode.c, built as
+a small shared library around libjpeg/stb) and falls back to cv2/PIL —
+decode is host-side work feeding the device; see runtime/feed.py for the
+host->HBM double-buffered feed.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+# extension sets mirror the reference's two variants
+# (image_loader.cpp:31 and :64)
+_EXTS_LOAD = {".jpg", ".jpeg", ".png", ".tif"}
+_EXTS_LOAD_IDS = {".jpg", ".jpeg", ".png", ".bmp", ".tiff"}
+
+
+@dataclass
+class LoadedImages:
+    images: List[np.ndarray]  # HxWx3 uint8 BGR
+    ids: List[str]
+    paths: List[str]
+
+
+def extract_image_id(filename: str) -> str:
+    """Filename prefix before the first '_', else the stem.
+
+    Reference: extract_image_id (image_loader.cpp:13-25).
+    """
+    stem = os.path.splitext(os.path.basename(filename))[0]
+    pos = stem.find("_")
+    return stem[:pos] if pos > 0 else stem
+
+
+def _decode_bgr(path: str) -> Optional[np.ndarray]:
+    """Decode to HxWx3 uint8 BGR; None on failure (loader skips bad files)."""
+    try:
+        from ..utils.native import decode_image_native
+        img = decode_image_native(path)
+        if img is not None:
+            return img
+    except Exception:
+        pass
+    try:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is not None and img.size > 0:
+            return img
+    except Exception:
+        pass
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            rgb = np.asarray(im.convert("RGB"))
+        return rgb[..., ::-1].copy()
+    except Exception:
+        return None
+
+
+def _scan(folder: str, exts) -> List[str]:
+    if not os.path.isdir(folder):
+        raise FileNotFoundError(f"image folder not found: {folder}")
+    names = [n for n in os.listdir(folder)
+             if os.path.splitext(n)[1].lower() in exts]
+    names.sort()  # lexicographic (image_loader.cpp:44,77)
+    return [os.path.join(folder, n) for n in names]
+
+
+def load(folder: str) -> List[np.ndarray]:
+    """Reference ImageLoader::load: >= 2 usable images required."""
+    paths = _scan(folder, _EXTS_LOAD)
+    images = []
+    for p in paths:
+        img = _decode_bgr(p)
+        if img is None:
+            print(f"[Loader] skipping unreadable file: {p}")
+            continue
+        images.append(img)
+    if len(images) < 2:
+        raise RuntimeError(
+            f"need at least 2 readable images in {folder}, got {len(images)}")
+    return images
+
+
+def load_with_ids(folder: str) -> LoadedImages:
+    """Reference ImageLoader::loadWithIds: >= 1 usable image required."""
+    paths = _scan(folder, _EXTS_LOAD_IDS)
+    images, ids, kept = [], [], []
+    for p in paths:
+        img = _decode_bgr(p)
+        if img is None:
+            print(f"[Loader] skipping unreadable file: {p}")
+            continue
+        images.append(img)
+        ids.append(extract_image_id(p))
+        kept.append(p)
+    if not images:
+        raise RuntimeError(f"no readable images in {folder}")
+    return LoadedImages(images=images, ids=ids, paths=kept)

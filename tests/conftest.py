@@ -1,0 +1,77 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+All tests run on the CPU backend (CI needs no TPU); the same code paths are
+jit/pjit-ed on device in production. The env vars must be set before JAX is
+imported anywhere in the process.
+"""
+
+import os
+
+# FORCE cpu: the image profile exports JAX_PLATFORMS=axon (remote TPU
+# tunnel); tests must run on the local CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+import jax  # noqa: E402
+
+# persistent compilation cache: compiles dominate test wall-clock on CPU
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def synthetic_ortho(h=768, w=1024, seed=0):
+    """A textured 'ground truth ortho' image with structure at many scales.
+
+    Used to render synthetic sorties: crops of this image related by known
+    transforms give exact expected registration results.
+    """
+    r = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3), np.float32)
+    # low-frequency base
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for c in range(3):
+        img[..., c] = (
+            96 + 60 * np.sin(xx / (37 + 11 * c)) * np.cos(yy / (29 + 7 * c)))
+    # mid-frequency blobs
+    for _ in range(400):
+        cy, cx = r.integers(0, h), r.integers(0, w)
+        rad = int(r.integers(4, 24))
+        col = r.uniform(0, 255, 3).astype(np.float32)
+        y0, y1 = max(0, cy - rad), min(h, cy + rad)
+        x0, x1 = max(0, cx - rad), min(w, cx + rad)
+        py, px = np.mgrid[y0:y1, x0:x1]
+        m = ((py - cy) ** 2 + (px - cx) ** 2) <= rad * rad
+        img[y0:y1, x0:x1][m] = 0.5 * img[y0:y1, x0:x1][m] + 0.5 * col
+    # sharp-cornered rectangles: strong DoG extrema at SIFT scales
+    for _ in range(600):
+        cy, cx = int(r.integers(0, h)), int(r.integers(0, w))
+        rh_, rw_ = int(r.integers(3, 14)), int(r.integers(3, 14))
+        col = r.uniform(0, 255, 3).astype(np.float32)
+        y0, y1 = max(0, cy - rh_), min(h, cy + rh_)
+        x0, x1 = max(0, cx - rw_), min(w, cx + rw_)
+        img[y0:y1, x0:x1] = 0.35 * img[y0:y1, x0:x1] + 0.65 * col
+    # band-limited texture that survives sigma~1.6 blur
+    try:
+        from scipy.ndimage import gaussian_filter
+        bl = gaussian_filter(r.normal(0, 1.0, (h, w)), 2.5) * 55.0
+        img += bl[..., None].astype(np.float32)
+    except ImportError:
+        pass
+    img += r.normal(0, 4.0, (h, w, 3)).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def ortho():
+    return synthetic_ortho()
