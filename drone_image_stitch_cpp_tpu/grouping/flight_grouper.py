@@ -162,10 +162,15 @@ def _segment_score_table(rels: List[VisualRelation], stats: MotionStats,
 
     Stable in-window relations add their (normalized) score; failed edges
     penalize; direction conflicts on the dominant axis cost min(pos, neg)
-    votes (a boustrophedon turn inside one segment flips the sign).
+    votes (a boustrophedon turn inside one segment flips the sign); edges
+    whose off-axis (cross-track) motion dominates are turn/cross-line
+    evidence and penalize any window that contains them.
     """
     score = np.full((n, n), -np.inf, np.float64)
     by_edge = {(r.i, r.j): r for r in rels}
+    # cross-track tolerance ~= 9% of the median along-track step (the
+    # reference's logged stable_max_cross is 35 px at median_main 384)
+    off_lim = max(8.0, 0.09 * stats.step)
     for l in range(n):
         for r_ in range(l + _MIN_SEGMENT_IMAGES - 1, n):
             s = 0.0
@@ -175,17 +180,21 @@ def _segment_score_table(rels: List[VisualRelation], stats: MotionStats,
                     rel = by_edge.get((i, j))
                     if rel is None:
                         continue
-                    if rel.ok:
-                        s += 1.0 + min(rel.score / 100.0, 1.0)
-                        if j - i == 1:
-                            dom = rel.tx if stats.axis == 0 else rel.ty
-                            if abs(dom) > stats.dup_thresh:
-                                if dom > 0:
-                                    pos += 1
-                                else:
-                                    neg += 1
-                    else:
+                    if not rel.ok:
                         s -= 2.0
+                        continue
+                    dom = rel.tx if stats.axis == 0 else rel.ty
+                    off = rel.ty if stats.axis == 0 else rel.tx
+                    if abs(off) > off_lim:
+                        # cross-track motion inside one strip: turn evidence
+                        s -= 4.0
+                        continue
+                    s += 1.0 + min(rel.score / 100.0, 1.0)
+                    if j - i == 1 and abs(dom) > stats.dup_thresh:
+                        if dom > 0:
+                            pos += 1
+                        else:
+                            neg += 1
             s -= 4.0 * min(pos, neg)  # direction-conflict penalty
             score[l, r_] = s
     return score

@@ -22,7 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .gaussian import collapse_laplacian, gaussian_pyramid, laplacian_pyramid
+from .gaussian import (collapse_laplacian, gaussian_pyramid,
+                       laplacian_pyramid, pyr_up)
 
 
 def num_blend_bands(cfg_bands: int, canvas_h: int, canvas_w: int) -> int:
@@ -77,16 +78,34 @@ def mb_prepare(canvas_h: int, canvas_w: int, bands: int) -> MultiBandCanvas:
 
 
 def mb_feed(canvas: MultiBandCanvas, img_roi: jnp.ndarray,
-            weight_roi: jnp.ndarray, tl_x, tl_y) -> MultiBandCanvas:
+            weight_roi: jnp.ndarray, tl_x, tl_y,
+            content_roi: jnp.ndarray | None = None) -> MultiBandCanvas:
     """Accumulate one image patch.
 
     ``img_roi``: (Hr, Wr, 3) float32, zeros outside content;
     ``weight_roi``: (Hr, Wr) float32 in [0, 1] (soft seam+content weight);
+    ``content_roi``: (Hr, Wr) bool/float content footprint. When given, the
+    Laplacian pyramid is built from the *mask-normalized* image pyramid
+    (gp(img*m)/gp(m)), which extends content across its boundary instead of
+    mixing black zero-padding into the coarse levels (OpenCV's blender
+    avoids the same artifact with reflected borders);
     ``tl_x``/``tl_y``: canvas offsets (traced ints OK), multiples of 2^bands.
     Hr/Wr must be multiples of 2^bands (use ``aligned_roi``).
     """
     bands = len(canvas.acc) - 1
-    lap = laplacian_pyramid(img_roi, bands)
+    if content_roi is not None:
+        m = content_roi.astype(jnp.float32)
+        gp_i = gaussian_pyramid(img_roi * m[..., None], bands)
+        gp_m = gaussian_pyramid(m, bands)
+        norm = [gi / jnp.maximum(gm, 1e-6)[..., None]
+                for gi, gm in zip(gp_i, gp_m)]
+        lap = []
+        for lvl in range(bands):
+            hi = norm[lvl]
+            lap.append(hi - pyr_up(norm[lvl + 1], hi.shape[0], hi.shape[1]))
+        lap.append(norm[bands])
+    else:
+        lap = laplacian_pyramid(img_roi, bands)
     wp = gaussian_pyramid(weight_roi.astype(jnp.float32), bands)
     acc = []
     wacc = []

@@ -53,12 +53,11 @@ def solve_gains(i_mat: jnp.ndarray, n_mat: jnp.ndarray) -> jnp.ndarray:
     n = i_mat.shape[0]
     nf = n_mat.astype(jnp.float32)
     a = jnp.zeros((n, n), jnp.float32)
-    b = jnp.zeros((n,), jnp.float32)
-    # diagonal: sum_j N_ij (alpha I_ij^2 + beta)
-    diag = jnp.sum(nf * (_ALPHA * i_mat ** 2 + _BETA), axis=1)
+    # OpenCV iterates ordered pairs, so each unordered overlap contributes
+    # its alpha term twice; the beta prior appears once per (i, j).
+    diag = jnp.sum(nf * (2.0 * _ALPHA * i_mat ** 2 + _BETA), axis=1)
     a = a.at[jnp.arange(n), jnp.arange(n)].set(diag)
-    # off-diagonal: -alpha * N_ij * I_ij * I_ji  (note OpenCV uses both ij/ji)
-    off = -_ALPHA * nf * i_mat * i_mat.T
+    off = -2.0 * _ALPHA * nf * i_mat * i_mat.T
     a = a + off - jnp.diag(jnp.diag(off))
     b = jnp.sum(nf * _BETA, axis=1)
     # guard: isolated images (no overlap) get gain 1 via the beta prior

@@ -65,11 +65,16 @@ class Features(NamedTuple):
     valid: jnp.ndarray     # (K,) bool
 
 
+_MAX_OCTAVES = 4  # caps compile size; octave>=4 keypoints are rare and
+                  # huge-scale (they contribute almost nothing to aerial
+                  # registration at our working resolutions)
+
+
 def num_octaves(h: int, w: int, upsample: bool) -> int:
-    """Octave count from image size (OpenCV formula, floor at 1)."""
+    """Octave count from image size (OpenCV formula, capped)."""
     m = min(h, w) * (2 if upsample else 1)
     n = int(round(math.log2(max(m, 4)))) - 2
-    return max(1, n)
+    return max(1, min(n, _MAX_OCTAVES))
 
 
 def _layer_sigmas(n_layers: int) -> np.ndarray:
@@ -188,16 +193,37 @@ def _refine_one(dog: jnp.ndarray, cand: jnp.ndarray, n_layers: int,
                             [dxs, dys, dss]])
         return g, hess, c, dxx, dyy, dxy
 
+    def solve3(hess, rhs):
+        """Closed-form (adjugate) 3x3 solve: far lighter to compile and run
+        than linalg.solve inside a K-way vmap."""
+        a, b, c = hess[0, 0], hess[0, 1], hess[0, 2]
+        d, e, f = hess[1, 0], hess[1, 1], hess[1, 2]
+        g_, h_, i_ = hess[2, 0], hess[2, 1], hess[2, 2]
+        co00 = e * i_ - f * h_
+        co01 = c * h_ - b * i_
+        co02 = b * f - c * e
+        co10 = f * g_ - d * i_
+        co11 = a * i_ - c * g_
+        co12 = c * d - a * f
+        co20 = d * h_ - e * g_
+        co21 = b * g_ - a * h_
+        co22 = a * e - b * d
+        det = a * co00 + b * co10 + c * co20
+        sol = jnp.stack([
+            co00 * rhs[0] + co01 * rhs[1] + co02 * rhs[2],
+            co10 * rhs[0] + co11 * rhs[1] + co12 * rhs[2],
+            co20 * rhs[0] + co21 * rhs[1] + co22 * rhs[2],
+        ])
+        return sol, det
+
     def body(_, st):
         s, y, x, off, conv = st
         cube = _gather_cube(dog, s, y, x)
         g, hess, _, _, _, _ = deriv(cube)
-        # guarded 3x3 solve
-        det = jnp.linalg.det(hess)
+        sol, det = solve3(hess, g)
         safe = jnp.abs(det) > 1e-10
-        hs = jnp.where(safe, 1.0, 0.0) * hess + jnp.where(
-            safe, 0.0, 1.0) * jnp.eye(3, dtype=hess.dtype)
-        new_off = jnp.where(safe, -jnp.linalg.solve(hs, g), 10.0)
+        new_off = jnp.where(
+            safe, -sol / jnp.where(safe, det, 1.0), 10.0)
         done = jnp.all(jnp.abs(new_off) < 0.5) & safe
         step = jnp.where(conv, 0, jnp.round(new_off).astype(jnp.int32))
         sn = jnp.clip(x + step[0], 1, xmax)
@@ -255,11 +281,15 @@ def _orientation_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
            & (jnp.abs(dy_off) <= radius) & (jnp.abs(dx_off) <= radius))
     yc = jnp.clip(yy, 0, h - 1)
     li = jnp.clip(layer, 0, gauss.shape[0] - 1)
-    img = gauss[li]
-    gx = 0.5 * (img[yc, jnp.clip(xx + 1, 0, w - 1)]
-                - img[yc, jnp.clip(xx - 1, 0, w - 1)])
-    gy = 0.5 * (img[jnp.clip(yy - 1, 0, h - 1), jnp.clip(xx, 0, w - 1)]
-                - img[jnp.clip(yy + 1, 0, h - 1), jnp.clip(xx, 0, w - 1)])
+    # 3-D pointwise gathers: indexing gauss[li] first would materialize a
+    # full (H, W) layer copy PER KEYPOINT under vmap (~100 GB at K=1800)
+    lb = jnp.broadcast_to(li, yc.shape)
+    gx = 0.5 * (gauss[lb, yc, jnp.clip(xx + 1, 0, w - 1)]
+                - gauss[lb, yc, jnp.clip(xx - 1, 0, w - 1)])
+    gy = 0.5 * (gauss[lb, jnp.clip(yy - 1, 0, h - 1),
+                      jnp.clip(xx, 0, w - 1)]
+                - gauss[lb, jnp.clip(yy + 1, 0, h - 1),
+                        jnp.clip(xx, 0, w - 1)])
     mag = jnp.sqrt(gx * gx + gy * gy)
     sig = _ORI_SIG_FACTOR * scale
     wgt = jnp.exp(-(dy_off.astype(jnp.float32) ** 2
@@ -268,8 +298,10 @@ def _orientation_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
     ang = jnp.arctan2(gy, gx)  # y-up, [-pi, pi]
     binf = (ang / (2.0 * jnp.pi)) * _ORI_BINS
     bini = jnp.round(binf).astype(jnp.int32) % _ORI_BINS
-    onehot = (bini[..., None] == jnp.arange(_ORI_BINS)).astype(jnp.float32)
-    hist = jnp.sum(contrib[..., None] * onehot, axis=(0, 1))
+    # scatter-add histogram: a (P, P, 36) one-hot here costs gigabytes once
+    # vmapped over K keypoints x B frames
+    hist = jnp.zeros((_ORI_BINS,), jnp.float32).at[
+        bini.reshape(-1)].add(contrib.reshape(-1))
     # circular smooth [1,4,6,4,1]/16
     hs = (jnp.roll(hist, 2) + jnp.roll(hist, -2)
           + 4.0 * (jnp.roll(hist, 1) + jnp.roll(hist, -1))
@@ -332,7 +364,6 @@ def _descriptor_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
     sx = x + (ca * u + sa * v)
     sy = y + (-sa * u + ca * v)
     li = jnp.clip(layer, 0, gauss.shape[0] - 1)
-    img = gauss[li]
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
@@ -340,10 +371,13 @@ def _descriptor_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
     fy = sy - y0
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
-    v00 = img[y0i, x0i]
-    v01 = img[y0i, x0i + 1]
-    v10 = img[y0i + 1, x0i]
-    v11 = img[y0i + 1, x0i + 1]
+    # 3-D pointwise gathers (see _orientation_one: gauss[li] would copy a
+    # full layer per keypoint under vmap)
+    lb = jnp.broadcast_to(li, x0i.shape)
+    v00 = gauss[lb, y0i, x0i]
+    v01 = gauss[lb, y0i, x0i + 1]
+    v10 = gauss[lb, y0i + 1, x0i]
+    v11 = gauss[lb, y0i + 1, x0i + 1]
     patch = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
              + (v10 * (1 - fx) + v11 * fx) * fy)
 
@@ -396,7 +430,10 @@ def detect_and_describe(img: jnp.ndarray, max_kp: int,
     sig_max = _SIGMA0 * 2.0 ** ((n_layers + 0.5) / n_layers)
     patch_r = int(math.ceil(_ORI_RADIUS_FACTOR * sig_max))
     for o, (g, dog) in enumerate(octs):
-        cand, _, cvalid = _extrema_candidates(dog, prelim, max_kp)
+        # higher octaves hold quadratically fewer pixels -> smaller budget
+        # (shrinks both the compiled graph and the per-call gather volume)
+        k_oct = max(max_kp >> o, min(128, max_kp))
+        cand, _, cvalid = _extrema_candidates(dog, prelim, k_oct)
         lf, yf, xf, resp, ok = jax.vmap(
             lambda c: _refine_one(dog, c, n_layers, contrast_abs,
                                   edge_thresh))(cand)

@@ -49,6 +49,43 @@ def _jac_blocks(pts: jnp.ndarray):
     return jnp.stack([jx, jy], axis=-2)  # (..., 2, 4)
 
 
+def normal_equations(pair_idx: jnp.ndarray, pts_a: jnp.ndarray,
+                     pts_b: jnp.ndarray, w: jnp.ndarray, n: int):
+    """Assemble (4N, 4N) AtA and (4N,) Atb for a set of pairs.
+
+    Separated from the solve so multi-chip execution can psum per-device
+    partial systems over the mesh before one replicated solve
+    (parallel/sortie_step.py).
+    """
+    ja = _jac_blocks(pts_a)          # (P, K, 2, 4)
+    jb = -_jac_blocks(pts_b)         # (P, K, 2, 4)
+
+    def blk(u, v):
+        return jnp.einsum("pkra,pkrb,pk->pab", u, v, w,
+                          preferred_element_type=jnp.float32)
+
+    ata = jnp.zeros((n, 4, n, 4), jnp.float32)
+    i_idx = pair_idx[:, 0]
+    j_idx = pair_idx[:, 1]
+    ata = ata.at[i_idx, :, i_idx, :].add(blk(ja, ja))
+    ata = ata.at[i_idx, :, j_idx, :].add(blk(ja, jb))
+    ata = ata.at[j_idx, :, i_idx, :].add(blk(jb, ja))
+    ata = ata.at[j_idx, :, j_idx, :].add(blk(jb, jb))
+    return ata.reshape(n * 4, n * 4), jnp.zeros((n * 4,), jnp.float32)
+
+
+def solve_with_priors(ata: jnp.ndarray, atb: jnp.ndarray,
+                      init_params: jnp.ndarray) -> jnp.ndarray:
+    """Apply gauge priors and solve; returns (N, 2, 3) transforms."""
+    n = init_params.shape[0]
+    prior_w = jnp.full((n,), _INIT_WEIGHT).at[0].set(_PIN_WEIGHT)
+    prior_diag = jnp.repeat(prior_w, 4)
+    ata = ata + jnp.diag(prior_diag)
+    atb = atb + prior_diag * init_params.reshape(-1)
+    sol = jnp.linalg.solve(ata, atb).reshape(n, 4)
+    return affine_from_params(sol)
+
+
 def bundle_adjust_similarity(pair_idx: jnp.ndarray, pts_a: jnp.ndarray,
                              pts_b: jnp.ndarray, w: jnp.ndarray,
                              init_params: jnp.ndarray) -> jnp.ndarray:
@@ -64,39 +101,8 @@ def bundle_adjust_similarity(pair_idx: jnp.ndarray, pts_a: jnp.ndarray,
     (static P, K, N).
     """
     n = init_params.shape[0]
-
-    ja = _jac_blocks(pts_a)          # (P, K, 2, 4)
-    jb = -_jac_blocks(pts_b)         # (P, K, 2, 4)
-
-    def blk(u, v):
-        # sum over matches and the 2 residual rows: (P, 4, 4)
-        return jnp.einsum("pkra,pkrb,pk->pab", u, v, w,
-                          preferred_element_type=jnp.float32)
-
-    m_aa = blk(ja, ja)
-    m_ab = blk(ja, jb)
-    m_ba = blk(jb, ja)
-    m_bb = blk(jb, jb)
-
-    ata = jnp.zeros((n, 4, n, 4), jnp.float32)
-    i_idx = pair_idx[:, 0]
-    j_idx = pair_idx[:, 1]
-    ata = ata.at[i_idx, :, i_idx, :].add(m_aa)
-    ata = ata.at[i_idx, :, j_idx, :].add(m_ab)
-    ata = ata.at[j_idx, :, i_idx, :].add(m_ba)
-    ata = ata.at[j_idx, :, j_idx, :].add(m_bb)
-    ata = ata.reshape(n * 4, n * 4)
-
-    atb = jnp.zeros((n * 4,), jnp.float32)
-
-    # priors: pin frame 0 to its init (identity gauge), weak pull elsewhere
-    prior_w = jnp.full((n,), _INIT_WEIGHT).at[0].set(_PIN_WEIGHT)
-    prior_diag = jnp.repeat(prior_w, 4)
-    ata = ata + jnp.diag(prior_diag)
-    atb = atb + prior_diag * init_params.reshape(-1)
-
-    sol = jnp.linalg.solve(ata, atb).reshape(n, 4)
-    return affine_from_params(sol)
+    ata, atb = normal_equations(pair_idx, pts_a, pts_b, w, n)
+    return solve_with_priors(ata, atb, init_params)
 
 
 bundle_adjust_similarity_jit = jax.jit(bundle_adjust_similarity)

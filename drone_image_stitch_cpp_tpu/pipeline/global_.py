@@ -85,29 +85,43 @@ class PairAffineEstimate:
         return self.inliers + 20.0 * self.ratio + 0.02 * self.matches
 
 
-def _estimate_pair_affine(ref: np.ndarray, cur: np.ndarray,
-                          tuning: StitchTuning,
-                          seed: int) -> PairAffineEstimate:
-    """Single alignment hypothesis between two strip images."""
-    h_r, w_r = ref.shape[:2]
-    h_c, w_c = cur.shape[:2]
-    # shared work resolution so one detect batch serves both
-    mdim = max(h_r, w_r, h_c, w_c)
-    sc = scale_for_max_dim(mdim, mdim, _MAX_ALIGN_DIM)
-    mpx_r = h_r * w_r * sc * sc / 1e6
-    # strips differ in size -> detect separately (different buckets)
-    f_ref, s_ref = detect_features([ref], tuning.global_sift_features, mpx_r)
-    mpx_c = h_c * w_c * sc * sc / 1e6
-    f_cur, s_cur = detect_features([cur], tuning.global_sift_features, mpx_c)
+def _detect_strip(img: np.ndarray, tuning: StitchTuning):
+    """Full-frame features for one strip at the <=2800 px work scale."""
+    h, w = img.shape[:2]
+    sc = scale_for_max_dim(h, w, _MAX_ALIGN_DIM)
+    mpx = h * w * sc * sc / 1e6
+    feats, s = detect_features([img], tuning.global_sift_features, mpx)
+    return feats, s
+
+
+def _mask_roi(feats, idx: int, roi):
+    """Validity-mask features to an x-range (keeps full-frame coords).
+
+    TPU-first replacement for the reference's per-ROI SIFT re-runs
+    (stitch_global.cpp:266-285): with fixed-K feature sets, an ROI
+    hypothesis is just a validity mask — zero extra detect work.
+    """
+    xy = feats.xy[idx]
+    valid = feats.valid[idx]
+    if roi is not None:
+        x0, x1 = roi
+        valid = valid & (xy[:, 0] >= x0) & (xy[:, 0] < x1)
+    return xy, feats.desc[idx], valid
+
+
+def _est_from_feats(f_ref, s_ref, f_cur, cur_roi, ref_roi,
+                    tuning: StitchTuning, seed: int) -> PairAffineEstimate:
+    """Alignment hypothesis from precomputed features (full-frame coords)."""
+    xy_r, d_r, v_r = _mask_roi(f_ref, 0, ref_roi)
+    xy_c, d_c, v_c = _mask_roi(f_cur, 0, cur_roi)
     ratio = float(M.adaptive_ratio(tuning.match_conf))
-    m = M.knn2_ratio(f_cur.desc[0], f_cur.valid[0], f_ref.desc[0],
-                     f_ref.valid[0], ratio)
-    src, dst, good = M.gather_correspondences(f_cur.xy[0], f_ref.xy[0], m)
+    m = M.knn2_ratio(d_c, v_c, d_r, v_r, ratio)
+    src, dst, good = M.gather_correspondences(xy_c, xy_r, m)
     n_good = int(m.good.sum())
     if n_good < max(2, tuning.min_good_matches // 2):  # halved gate (:170)
         return PairAffineEstimate(ok=False, model=None, matches=n_good)
     res = R.estimate_affine2d(src, dst, good, jax.random.PRNGKey(seed),
-                              thresh=4.0 / max(s_cur, 1e-6))
+                              thresh=4.0 / max(s_ref, 1e-6))
     n_inl = int(res.n_inliers)
     if not bool(res.ok) or n_inl < max(2, tuning.min_inliers // 2):  # :201
         return PairAffineEstimate(ok=False, model=None, matches=n_good,
@@ -117,7 +131,7 @@ def _estimate_pair_affine(ref: np.ndarray, cur: np.ndarray,
         matches=n_good, ratio=n_inl / max(1, n_good))
 
 
-def _roi_candidates(h: int, w: int) -> List[Tuple[int, int]]:
+def _roi_candidates(w: int) -> List[Tuple[int, int]]:
     """Full / left / right / center x-ranges (reference :226-259)."""
     cands = [(0, w)]
     half = w // 2
@@ -133,49 +147,59 @@ def _roi_candidates(h: int, w: int) -> List[Tuple[int, int]]:
     return dedup
 
 
-def _estimate_with_roi_search(ref: np.ndarray, cur: np.ndarray,
+def _estimate_with_roi_search(f_ref, s_ref, f_cur, ref_shape, cur_shape,
                               tuning: StitchTuning,
                               seed: int) -> PairAffineEstimate:
-    """Best alignment over ROI pairs; composes ROI translations (:261-289)."""
-    best = _estimate_pair_affine(ref, cur, tuning, seed)
+    """Best alignment over ROI hypothesis pairs (:261-289).
+
+    Features are detected once per strip; each ROI pair is a validity-mask
+    variant, so the <=16-pair grid costs 16 match+RANSAC launches and zero
+    extra feature extraction. Models stay in full-frame coordinates.
+    """
+    best = _est_from_feats(f_ref, s_ref, f_cur, None, None, tuning, seed)
     if best.ok and best.inliers >= 2 * tuning.min_inliers:
         return best  # strong full-frame alignment; skip the grid
-    for rx0, rx1 in _roi_candidates(*ref.shape[:2][::-1])[1:] or []:
-        for cx0, cx1 in _roi_candidates(*cur.shape[:2][::-1]):
-            est = _estimate_pair_affine(ref[:, rx0:rx1], cur[:, cx0:cx1],
-                                        tuning, seed)
-            if not est.ok:
-                continue
-            # compose ROI translations: cur -> roi -> ref-roi -> ref
-            t_ref = np.asarray([[1, 0, rx0], [0, 1, 0], [0, 0, 1]],
-                               np.float32)
-            t_cur = np.asarray([[1, 0, -cx0], [0, 1, 0], [0, 0, 1]],
-                               np.float32)
-            est.model = t_ref @ est.model @ t_cur
-            if not best.ok or est.score > best.score:
+    ref_rois = _roi_candidates(ref_shape[1])
+    cur_rois = _roi_candidates(cur_shape[1])
+    for k, ref_roi in enumerate(ref_rois):
+        for kk, cur_roi in enumerate(cur_rois):
+            if k == 0 and kk == 0:
+                continue  # full-frame pair already evaluated
+            est = _est_from_feats(f_ref, s_ref, f_cur, cur_roi,
+                                  None if k == 0 else ref_roi,
+                                  tuning, seed)
+            if est.ok and (not best.ok or est.score > best.score):
                 best = est
     return best
 
 
-def _flip_affine(w: int) -> np.ndarray:
-    return np.asarray([[-1, 0, w - 1.0], [0, 1, 0], [0, 0, 1]], np.float32)
-
-
 def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
-                 seed: int = 0) -> Tuple[List[np.ndarray], List[bool]]:
-    """Chained global transforms per strip + flip flags (:400-437)."""
+                 seed: int = 0):
+    """Chained global transforms + per-strip orientation (:400-437).
+
+    Returns (transforms, oriented, flipped): ``oriented[i]`` is the strip
+    with the flip hypothesis applied when chosen, and ``transforms[i]``
+    maps oriented-strip coordinates into the global (strip-0) frame, so
+    the whole chain lives in oriented frames and composition warps the
+    oriented images.
+    """
     log = get_logger()
     n = len(strips)
     transforms = [np.eye(3, dtype=np.float32)]
     flipped = [False]
-    oriented_prev = strips[0]
+    oriented = [strips[0]]
+    f_prev, s_prev = _detect_strip(strips[0], tuning)
     for i in range(1, n):
         cur = strips[i]
-        direct = _estimate_with_roi_search(oriented_prev, cur, tuning,
-                                           seed + i)
+        f_cur, _ = _detect_strip(cur, tuning)
+        direct = _estimate_with_roi_search(
+            f_prev, s_prev, f_cur, oriented[i - 1].shape, cur.shape, tuning,
+            seed + i)
         cur_flip = cur[:, ::-1].copy()
-        flip_est = _estimate_with_roi_search(oriented_prev, cur_flip, tuning,
-                                             seed + i + 1000)
+        f_flip, _ = _detect_strip(cur_flip, tuning)
+        flip_est = _estimate_with_roi_search(
+            f_prev, s_prev, f_flip, oriented[i - 1].shape, cur_flip.shape,
+            tuning, seed + i + 1000)
         # choose by inliers then ratio (:406-421)
         use_flip = flip_est.ok and (
             not direct.ok
@@ -187,16 +211,15 @@ def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
                 f"strip {i} alignment failed: direct(inl={direct.inliers}, "
                 f"m={direct.matches}) flipped(inl={flip_est.inliers}, "
                 f"m={flip_est.matches})")
-        model = est.model
-        if use_flip:
-            model = model @ _flip_affine(cur.shape[1])
         log.log("GlobalCustom", f"strip {i} aligned", flipped=use_flip,
                 inliers=est.inliers, matches=est.matches,
                 ratio=round(est.ratio, 3))
-        transforms.append((transforms[i - 1] @ model).astype(np.float32))
+        # est.model maps oriented-cur -> oriented-prev coords
+        transforms.append((transforms[i - 1] @ est.model).astype(np.float32))
         flipped.append(bool(use_flip))
-        oriented_prev = cur_flip if use_flip else cur
-    return transforms, flipped
+        oriented.append(cur_flip if use_flip else cur)
+        f_prev = f_flip if use_flip else f_cur
+    return transforms, oriented, flipped
 
 
 def _gain_chain(seam_imgs: List[jnp.ndarray], seam_masks: List[jnp.ndarray],
@@ -238,15 +261,16 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     if n < 2:
         raise GlobalStitchError("need at least 2 strips")
 
-    transforms, _ = align_strips(strips, tuning, seed)
+    transforms, strips, _ = align_strips(strips, tuning, seed)
 
     # canvas bbox over transformed corners (:439-458)
     boxes = []
     for st, t in zip(strips, transforms):
         boxes.append(tuple(float(v) for v in transformed_bbox(
             jnp.asarray(t[:2, :]), st.shape[0], st.shape[1])))
-    x0 = min(b[0] for b in boxes)
-    y0 = min(b[1] for b in boxes)
+    # integer origin: keep strip 0 pixel-aligned (see pipeline/strip.py)
+    x0 = float(math.floor(min(b[0] for b in boxes)))
+    y0 = float(math.floor(min(b[1] for b in boxes)))
     x1 = max(b[2] for b in boxes)
     y1 = max(b[3] for b in boxes)
     canvas_w = int(math.ceil(x1 - x0)) + 1
@@ -338,7 +362,7 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
                                   seam_scale)
         soft = gaussian_blur(sroi, _SOFT_MASK_SIGMA)
         weight = jnp.where(cmask, soft, 0.0)
-        canvas = feed(canvas, wimg, weight, tlx, tly)
+        canvas = feed(canvas, wimg, weight, tlx, tly, cmask)
 
     out, _ = B.mb_blend(canvas, canvas_h, canvas_w)
     result = np.asarray(out).astype(np.uint8)
@@ -349,7 +373,8 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
 
 def _mask_roi_upsample(mask: jnp.ndarray, tlx: int, tly: int, rh: int,
                        rw: int, seam_scale: float) -> jnp.ndarray:
-    from ..ops.transform import invert_affine
-    a = jnp.asarray([[seam_scale, 0.0, -tlx * seam_scale],
-                     [0.0, seam_scale, -tly * seam_scale]], jnp.float32)
-    return warp_affine(mask.astype(jnp.float32), invert_affine(a), rh, rw)
+    """src->dst: x_roi = x_seam / s - tlx (see pipeline/strip.py)."""
+    inv_s = 1.0 / seam_scale
+    t = jnp.asarray([[inv_s, 0.0, -float(tlx)],
+                     [0.0, inv_s, -float(tly)]], jnp.float32)
+    return warp_affine(mask.astype(jnp.float32), t, rh, rw)

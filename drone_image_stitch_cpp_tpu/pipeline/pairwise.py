@@ -116,8 +116,9 @@ def stitch_pair(img_a: np.ndarray, img_b: np.ndarray,
     ha, wa = img_a.shape[:2]
     hb, wb = img_b.shape[:2]
     corners_b = apply_homography_pts(h_ba, image_corners(hb, wb))
-    x0 = float(jnp.minimum(corners_b[:, 0].min(), 0.0))
-    y0 = float(jnp.minimum(corners_b[:, 1].min(), 0.0))
+    # integer origin keeps frame A pixel-aligned on the canvas
+    x0 = float(np.floor(float(jnp.minimum(corners_b[:, 0].min(), 0.0))))
+    y0 = float(np.floor(float(jnp.minimum(corners_b[:, 1].min(), 0.0))))
     x1 = float(jnp.maximum(corners_b[:, 0].max(), wa - 1.0))
     y1 = float(jnp.maximum(corners_b[:, 1].max(), ha - 1.0))
     out_w = int(np.ceil(x1 - x0)) + 1

@@ -21,11 +21,19 @@ from ..ops import features as F
 from ..ops.color import bgr_to_gray
 from ..ops.resize import resize_area, scale_for_megapixels
 
-_PAD = 128
+def _bucket_dim(d: int) -> int:
+    """Coarse shape buckets: pad is 256 below 2048, 512 above.
+
+    Every distinct detect shape costs a full XLA compile (minutes on the
+    CPU backend, a remote round-trip on TPU); coarse buckets collapse the
+    near-identical strip/ROI sizes of a sortie onto a handful of programs.
+    """
+    m = 256 if d <= 2048 else 512
+    return -(-d // m) * m
 
 
 def bucket_shape(h: int, w: int) -> tuple[int, int]:
-    return (-(-h // _PAD) * _PAD, -(-w // _PAD) * _PAD)
+    return (_bucket_dim(h), _bucket_dim(w))
 
 
 @functools.partial(jax.jit, static_argnames=("max_kp", "out_h", "out_w"))
@@ -63,8 +71,13 @@ def detect_features(images: List[np.ndarray], n_features: int,
     batch = jnp.stack(grays)
     true_hw = jnp.asarray([[wh, ww]] * len(images), jnp.int32)
     feats = _detect_batch(batch, true_hw, n_features, bh, bw)
-    # back to full-res coordinates; the +-0.5 terms account for the pixel-
-    # center shift of area resampling (x_full = (x_work + 0.5)/s - 0.5)
-    feats = feats._replace(xy=(feats.xy + 0.5) / scale - 0.5,
-                           sigma=feats.sigma / scale)
+    # back to full-res coordinates with EXACT per-axis scales (the rounded
+    # work size makes the effective scale differ from the nominal one by
+    # ~1e-3 — a pixel of systematic drift across a frame if ignored); the
+    # +-0.5 terms are the pixel-center shift of area resampling
+    sx = ww / float(w)
+    sy = wh / float(h)
+    xy = jnp.stack([(feats.xy[..., 0] + 0.5) / sx - 0.5,
+                    (feats.xy[..., 1] + 0.5) / sy - 0.5], axis=-1)
+    feats = feats._replace(xy=xy, sigma=feats.sigma / scale)
     return feats, scale

@@ -133,8 +133,10 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     boxes = [np.asarray(transformed_bbox(jnp.asarray(t), im.shape[0],
                                          im.shape[1]))
              for t, im in zip(jnp.asarray(transforms), images)]
-    x0 = min(float(b[0]) for b in boxes)
-    y0 = min(float(b[1]) for b in boxes)
+    # integer canvas origin: a fractional shift would resample every frame
+    # (frame 0 included) and blur the whole mosaic by a sub-pixel offset
+    x0 = float(np.floor(min(float(b[0]) for b in boxes)))
+    y0 = float(np.floor(min(float(b[1]) for b in boxes)))
     x1 = max(float(b[2]) for b in boxes)
     y1 = max(float(b[3]) for b in boxes)
     canvas_w = int(np.ceil(x1 - x0)) + 1
@@ -175,7 +177,9 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     seam_masks = S.find_seams_sequential(seam_imgs, seam_masks, axes)
 
     # ---- full-res compose: ROI warp -> canvas pyramid --------------------
-    bands = B.num_blend_bands(tuning.blend_bands, canvas_h, canvas_w)
+    # strip stage uses the configured band count directly (the adaptive
+    # canvas formula is a global-stage behavior, stitch_global.cpp:632-635)
+    bands = max(1, tuning.blend_bands)
     canvas = B.mb_prepare(canvas_h, canvas_w, bands)
     feed = jax.jit(B.mb_feed, donate_argnums=0,
                    static_argnames=())
@@ -206,7 +210,7 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
                                   jnp.asarray(t_full), rh_b, rw_b,
                                   footprint_thresh=0.5)
         weight = smask_roi * cmask.astype(jnp.float32)
-        canvas = feed(canvas, wimg, weight, tlx, tly)
+        canvas = feed(canvas, wimg, weight, tlx, tly, cmask)
 
     out, valid = B.mb_blend(canvas, canvas_h, canvas_w)
     return np.asarray(out).astype(np.uint8)
@@ -214,13 +218,15 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
 
 def _upsample_mask_roi(seam_mask: jnp.ndarray, tlx: int, tly: int,
                        rh: int, rw: int, seam_scale: float) -> jnp.ndarray:
-    """Bilinearly upsample a seam-scale mask into a full-res canvas ROI."""
-    a = jnp.asarray([[seam_scale, 0.0, -tlx * seam_scale],
-                     [0.0, seam_scale, -tly * seam_scale]], jnp.float32)
-    # a maps ROI full-res coords -> seam-scale coords, so warp with inverse
-    from ..ops.transform import invert_affine
-    return warp_affine(seam_mask.astype(jnp.float32),
-                       invert_affine(a), rh, rw)
+    """Bilinearly upsample a seam-scale mask into a full-res canvas ROI.
+
+    warp_affine takes the src->dst transform: seam-scale coords map to
+    ROI-local full-res coords via x_roi = x_seam / s - tlx.
+    """
+    inv_s = 1.0 / seam_scale
+    t = jnp.asarray([[inv_s, 0.0, -float(tlx)],
+                     [0.0, inv_s, -float(tly)]], jnp.float32)
+    return warp_affine(seam_mask.astype(jnp.float32), t, rh, rw)
 
 
 def stitch_strip(images: List[np.ndarray],

@@ -1,0 +1,73 @@
+"""Host -> HBM image feed: threaded decode + double-buffered device_put.
+
+The TPU-native replacement for the reference's synchronous decode loop
+(image_loader.cpp:52-59): JPEG decode runs on host threads (the native
+libjpeg pool when built, else cv2), and each batch is device_put one step
+ahead of consumption so the transfer overlaps device compute (device_put is
+asynchronous in JAX; consuming the previous batch while the next is in
+flight gives the double buffering).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def _decode_host(paths: Sequence[str], n_threads: int) -> List[np.ndarray]:
+    from ..utils.native import decode_batch_native
+    out = decode_batch_native(list(paths), n_threads=n_threads)
+    if out is not None:
+        return out
+    import cv2
+    with cf.ThreadPoolExecutor(max_workers=n_threads) as ex:
+        return list(ex.map(lambda p: cv2.imread(p, cv2.IMREAD_COLOR),
+                           paths))
+
+
+class DeviceFeed:
+    """Iterate decoded image batches as device arrays with 1-batch lookahead.
+
+    ``items``: list of file paths (decoded on host threads) or ndarrays.
+    Batches are stacked (same-shape frames) and converted to float32 on
+    device. Yields jnp arrays of shape (batch, H, W, 3).
+    """
+
+    def __init__(self, items: Sequence, batch_size: int = 4,
+                 n_threads: Optional[int] = None, to_gray: bool = False):
+        self.items = list(items)
+        self.batch_size = batch_size
+        self.n_threads = n_threads or min(8, (os.cpu_count() or 1) * 2)
+        self.to_gray = to_gray
+
+    def _host_batch(self, batch) -> np.ndarray:
+        if batch and isinstance(batch[0], str):
+            arrs = _decode_host(batch, self.n_threads)
+        else:
+            arrs = list(batch)
+        stacked = np.stack(arrs).astype(np.float32)
+        if self.to_gray and stacked.ndim == 4:
+            stacked = (stacked[..., 0] * 0.114 + stacked[..., 1] * 0.587
+                       + stacked[..., 2] * 0.299)
+        return stacked
+
+    def __iter__(self) -> Iterator:
+        import jax
+
+        batches = [self.items[i:i + self.batch_size]
+                   for i in range(0, len(self.items), self.batch_size)]
+        if not batches:
+            return
+        with cf.ThreadPoolExecutor(max_workers=1) as decode_pool:
+            # pipeline: batch k+1 decodes on a host thread while batch k's
+            # (async) device_put/compute proceeds
+            pending = decode_pool.submit(self._host_batch, batches[0])
+            for k in range(len(batches)):
+                host = pending.result()
+                if k + 1 < len(batches):
+                    pending = decode_pool.submit(self._host_batch,
+                                                 batches[k + 1])
+                yield jax.device_put(host)

@@ -1,0 +1,100 @@
+"""ctypes bindings for the native runtime library (native/libtmnative.so).
+
+Host-side native components (SURVEY.md §2.2: the reference's ingest is
+native C++ via cv::imread): a libjpeg decode path with a thread-pool batch
+entry point. Gracefully absent — callers fall back to cv2/PIL when the
+library hasn't been built (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(here, "native", "libtmnative.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.tm_decode_jpeg.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.tm_decode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.tm_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+        lib.tm_decode_jpeg_batch.restype = ctypes.c_int
+        lib.tm_decode_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_image_native(path: str) -> Optional[np.ndarray]:
+    """Decode one JPEG to HxWx3 uint8 BGR via the native library."""
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    buf = lib.tm_decode_jpeg(path.encode(), ctypes.byref(w),
+                             ctypes.byref(h))
+    if not buf:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(buf, shape=(h.value, w.value, 3)).copy()
+    finally:
+        lib.tm_free(buf)
+    return arr
+
+
+def decode_batch_native(paths: List[str],
+                        n_threads: int = 4) -> Optional[List[np.ndarray]]:
+    """Thread-pool batch decode; None if the library is unavailable or any
+    file is not a JPEG (mixed batches fall back to the Python path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        return None
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    bufs = (ctypes.POINTER(ctypes.c_ubyte) * n)()
+    ws = (ctypes.c_int * n)()
+    hs = (ctypes.c_int * n)()
+    lib.tm_decode_jpeg_batch(c_paths, n, bufs, ws, hs, n_threads)
+    out: List[np.ndarray] = []
+    try:
+        for i in range(n):
+            if not bufs[i]:
+                return None
+            out.append(np.ctypeslib.as_array(
+                bufs[i], shape=(hs[i], ws[i], 3)).copy())
+    finally:
+        for i in range(n):
+            if bufs[i]:
+                lib.tm_free(bufs[i])
+    return out

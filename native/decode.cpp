@@ -1,0 +1,145 @@
+// Native host-side JPEG decode for the ingest feed.
+//
+// The reference's loader spends its time in cv::imread
+// (image_loader.cpp:52,85); this is the TPU framework's native equivalent:
+// a minimal libjpeg-turbo decode path producing BGR8 buffers that the
+// Python feed layer pins and ships to HBM (runtime/feed.py). Built as a
+// plain shared library, bound via ctypes (no pybind11 in the image).
+//
+// Exports (C ABI):
+//   tm_decode_jpeg(path, out_w, out_h) -> malloc'd BGR buffer or NULL
+//   tm_free(buf)
+//   tm_decode_jpeg_batch(paths, n, bufs, ws, hs, n_threads) -> 0 on success
+//     (simple pthread pool; each worker decodes a stripe of the list)
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+#include <pthread.h>
+
+#include <jpeglib.h>
+
+extern "C" {
+
+struct tm_error_mgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+static void tm_error_exit(j_common_ptr cinfo) {
+  tm_error_mgr* err = reinterpret_cast<tm_error_mgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+unsigned char* tm_decode_jpeg(const char* path, int* out_w, int* out_h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+
+  jpeg_decompress_struct cinfo;
+  tm_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = tm_error_exit;
+  unsigned char* buf = nullptr;
+
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    free(buf);
+    return nullptr;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return nullptr;
+  }
+#ifdef JCS_EXTENSIONS
+  cinfo.out_color_space = JCS_EXT_BGR;  // libjpeg-turbo: decode straight
+                                        // into the BGR layout cv::Mat uses
+#else
+  cinfo.out_color_space = JCS_RGB;
+#endif
+  jpeg_start_decompress(&cinfo);
+
+  const int w = static_cast<int>(cinfo.output_width);
+  const int h = static_cast<int>(cinfo.output_height);
+  const int ch = static_cast<int>(cinfo.output_components);
+  if (ch != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return nullptr;
+  }
+  const size_t stride = static_cast<size_t>(w) * 3;
+  buf = static_cast<unsigned char*>(malloc(stride * h));
+  if (!buf) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return nullptr;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = buf + stride * cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+
+#ifndef JCS_EXTENSIONS
+  // swap R<->B in place when the turbo extension is unavailable
+  for (size_t i = 0; i + 2 < stride * h; i += 3) {
+    unsigned char t = buf[i];
+    buf[i] = buf[i + 2];
+    buf[i + 2] = t;
+  }
+#endif
+  *out_w = w;
+  *out_h = h;
+  return buf;
+}
+
+void tm_free(unsigned char* p) { free(p); }
+
+struct BatchJob {
+  const char** paths;
+  unsigned char** bufs;
+  int* ws;
+  int* hs;
+  int n;
+  int n_threads;
+  int tid;
+};
+
+static void* batch_worker(void* arg) {
+  BatchJob* job = static_cast<BatchJob*>(arg);
+  for (int i = job->tid; i < job->n; i += job->n_threads) {
+    job->bufs[i] = tm_decode_jpeg(job->paths[i], &job->ws[i], &job->hs[i]);
+  }
+  return nullptr;
+}
+
+int tm_decode_jpeg_batch(const char** paths, int n, unsigned char** bufs,
+                         int* ws, int* hs, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  pthread_t threads[64];
+  BatchJob jobs[64];
+  bool spawned[64];
+  if (n_threads > 64) n_threads = 64;
+  for (int t = 0; t < n_threads; ++t) {
+    jobs[t] = BatchJob{paths, bufs, ws, hs, n, n_threads, t};
+    spawned[t] =
+        pthread_create(&threads[t], nullptr, batch_worker, &jobs[t]) == 0;
+    if (!spawned[t]) batch_worker(&jobs[t]);  // degrade to inline execution
+  }
+  for (int t = 0; t < n_threads; ++t) {
+    if (spawned[t]) pthread_join(threads[t], nullptr);
+  }
+  return 0;
+}
+
+}  // extern "C"

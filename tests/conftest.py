@@ -20,8 +20,10 @@ import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
-# persistent compilation cache: compiles dominate test wall-clock on CPU
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# persistent compilation cache: compiles dominate test wall-clock on CPU.
+# (separate dir from any axon/remote-compiled artifacts — mixed machine
+# features in one cache dir trigger AOT-mismatch warnings or SIGILL)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -75,3 +77,46 @@ def synthetic_ortho(h=768, w=1024, seed=0):
 @pytest.fixture(scope="session")
 def ortho():
     return synthetic_ortho()
+
+
+def render_sortie(ortho, rows, cols, frame_h=160, frame_w=208,
+                  overlap=0.5, y0=40, x0=40, jitter=0, seed=7,
+                  overlap_y=None):
+    """Boustrophedon sortie: crops of the ortho with known positions.
+
+    Returns (images uint8, ids, positions [(y, x)] in ortho coords).
+    Even rows left->right, odd rows right->left (reversed order).
+    ``overlap`` is the along-track (x) overlap; ``overlap_y`` the
+    side (between-line) overlap (defaults to ``overlap``).
+    """
+    r = np.random.default_rng(seed)
+    if overlap_y is None:
+        overlap_y = overlap
+    step_x = int(frame_w * (1 - overlap))
+    step_y = int(frame_h * (1 - overlap_y))
+    images, ids, pos = [], [], []
+    k = 0
+    for row in range(rows):
+        xs = list(range(cols))
+        if row % 2 == 1:
+            xs = xs[::-1]
+        for c in xs:
+            y = y0 + row * step_y
+            x = x0 + c * step_x
+            if jitter:
+                y += int(r.integers(-jitter, jitter + 1))
+                x += int(r.integers(-jitter, jitter + 1))
+            img = ortho[y:y + frame_h, x:x + frame_w].astype(np.uint8)
+            images.append(img)
+            ids.append(f"IMG{k:03d}")
+            pos.append((y, x))
+            k += 1
+    return images, ids, pos
+
+
+def blurred_rmse(a, b):
+    """RMSE after a mild blur: robust to subpixel resampling of texture."""
+    import cv2
+    aa = cv2.GaussianBlur(a.astype(np.float32), (9, 9), 2.0)
+    bb = cv2.GaussianBlur(b.astype(np.float32), (9, 9), 2.0)
+    return float(np.sqrt(np.mean((aa - bb) ** 2)))

@@ -1,0 +1,147 @@
+"""App-driver integration: full run, checkpoint resume, loader, undistort."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import render_sortie
+
+from drone_image_stitch_cpp_tpu.app import RunConfig, run_stitch_application
+from drone_image_stitch_cpp_tpu.runtime import loader
+
+
+@pytest.fixture(scope="module")
+def sortie_dir(tmp_path_factory):
+    import cv2
+    from conftest import synthetic_ortho
+    ortho = synthetic_ortho()
+    imgs, ids, _ = render_sortie(ortho, 2, 3, frame_h=160, frame_w=208,
+                                 overlap=0.7, overlap_y=0.3)
+    root = tmp_path_factory.mktemp("sortie")
+    d = root / "visible" / "run"
+    os.makedirs(d)
+    for k, img in enumerate(imgs):
+        cv2.imwrite(str(d / f"IMG{k:03d}_x.jpg"), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 97])
+    return str(root)
+
+
+def test_full_application_run(sortie_dir, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = RunConfig(image_folder=sortie_dir, image_type="visible",
+                    group="run", output_root=out,
+                    tuning_overrides=dict(
+                        sift_features=512, strip_sift_features=512,
+                        global_sift_features=768,
+                        registration_resol_mpx=-1.0,
+                        seam_estimation_resol_mpx=-1.0, blend_bands=3))
+    rc = run_stitch_application(cfg)
+    assert rc == 0
+    pano_path = os.path.join(out, "visible", "run",
+                             "visible_run_uav_panorama.jpg")
+    assert os.path.exists(pano_path)
+    import cv2
+    pano = cv2.imread(pano_path)
+    # 2 rows x 3 cols at 70%/30% overlap: ~272 x ~332 content
+    assert pano.shape[0] > 240 and pano.shape[1] > 290, pano.shape
+    # strip checkpoint written
+    assert os.path.exists(os.path.join(
+        out, "visible", "run", "strips", "checkpoint.json"))
+
+    # resume path: rerun with resume=True reuses the checkpoint
+    cfg2 = RunConfig(image_folder=sortie_dir, image_type="visible",
+                     group="run", output_root=out, resume=True,
+                     tuning_overrides=cfg.tuning_overrides)
+    assert run_stitch_application(cfg2) == 0
+
+
+def test_application_missing_folder(tmp_path):
+    cfg = RunConfig(image_folder=str(tmp_path / "none"),
+                    image_type="visible", group="g",
+                    output_root=str(tmp_path / "out"))
+    assert run_stitch_application(cfg) == 1  # top-level catch -> exit 1
+
+
+def test_loader_id_extraction():
+    assert loader.extract_image_id("DJI_0042.jpg") == "DJI"
+    assert loader.extract_image_id("frame.png") == "frame"
+    assert loader.extract_image_id("/a/b/X123_cam0_t1.tif") == "X123"
+    # '_' at position 0 -> stem fallback (pos > 0 required)
+    assert loader.extract_image_id("_odd.jpg") == "_odd"
+
+
+def test_loader_requires_two_images(tmp_path):
+    import cv2
+    d = tmp_path / "one"
+    os.makedirs(d)
+    cv2.imwrite(str(d / "a.jpg"), np.zeros((8, 8, 3), np.uint8))
+    with pytest.raises(RuntimeError):
+        loader.load(str(d))
+    # loadWithIds accepts a single image
+    got = loader.load_with_ids(str(d))
+    assert len(got.images) == 1
+
+
+def test_native_decoder_roundtrip(tmp_path):
+    from drone_image_stitch_cpp_tpu.utils import native
+    if not native.native_available():
+        pytest.skip("native library not built")
+    import cv2
+    img = (np.random.default_rng(0).uniform(0, 255, (64, 96, 3))
+           .astype(np.uint8))
+    p = str(tmp_path / "t.jpg")
+    cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 100])
+    ours = native.decode_image_native(p)
+    ref = cv2.imread(p)
+    assert ours is not None and ours.shape == ref.shape
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+    batch = native.decode_batch_native([p, p, p], n_threads=2)
+    assert batch is not None and len(batch) == 3
+    assert all(b.shape == ref.shape for b in batch)
+
+
+def test_device_feed(tmp_path):
+    import cv2
+    from drone_image_stitch_cpp_tpu.runtime.feed import DeviceFeed
+    img = (np.random.default_rng(1).uniform(0, 255, (32, 48, 3))
+           .astype(np.uint8))
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"f{i}.jpg")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    batches = list(DeviceFeed(paths, batch_size=2))
+    assert [b.shape[0] for b in batches] == [2, 2, 1]
+    assert batches[0].shape[1:] == (32, 48, 3)
+
+
+def test_undistort_identity():
+    import jax.numpy as jnp
+    from drone_image_stitch_cpp_tpu.config.tuning import CameraCalibration
+    from drone_image_stitch_cpp_tpu.ops.undistort import undistort
+    calib = CameraCalibration(name="t", fx=100.0, fy=100.0, cx=32.0,
+                              cy=24.0, dist=(0.0,) * 8)
+    img = jnp.asarray(np.random.default_rng(2).uniform(
+        0, 255, (48, 64)).astype(np.float32))
+    out = undistort(img, calib)
+    assert np.abs(np.asarray(out) - np.asarray(img)).max() < 1e-3
+
+
+def test_undistort_matches_cv():
+    import cv2
+    import jax.numpy as jnp
+    from drone_image_stitch_cpp_tpu.config.tuning import CameraCalibration
+    from drone_image_stitch_cpp_tpu.ops.undistort import undistort
+    from conftest import synthetic_ortho
+    img = synthetic_ortho(h=120, w=160)[..., 0]
+    k = np.asarray([[120.0, 0, 80.0], [0, 120.0, 60.0], [0, 0, 1]])
+    dist = np.asarray([0.05, -0.01, 0.001, -0.002, 0.002, 0.01, 0.0, 0.0])
+    calib = CameraCalibration(name="t", fx=120.0, fy=120.0, cx=80.0,
+                              cy=60.0, dist=tuple(dist))
+    ours = np.asarray(undistort(jnp.asarray(img), calib))
+    ref = cv2.undistort(img, k, dist)
+    # interior agreement (border handling differs at the frame edge)
+    diff = np.abs(ours[8:-8, 8:-8] - ref[8:-8, 8:-8])
+    assert np.quantile(diff, 0.995) < 1.5, np.quantile(diff, 0.995)

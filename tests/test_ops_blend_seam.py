@@ -1,0 +1,140 @@
+"""Unit tests: seam DP, multiband blender, feather, exposure, crop."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from drone_image_stitch_cpp_tpu.ops import blend as B
+from drone_image_stitch_cpp_tpu.ops import exposure as E
+from drone_image_stitch_cpp_tpu.ops import seam as S
+from drone_image_stitch_cpp_tpu.ops.crop import (auto_crop_black_border,
+                                                 content_bbox)
+
+
+def test_num_blend_bands_formula():
+    # reference formula: max(max(5, cfg), ceil(log2(maxdim)) - 1) cap 12
+    assert B.num_blend_bands(5, 1000, 1000) == max(5, 9)
+    assert B.num_blend_bands(3, 512, 256) == max(5, 8)
+    assert B.num_blend_bands(5, 100000, 100) == 12  # cap
+    assert B.num_blend_bands(7, 64, 64) == 7
+
+
+def test_aligned_roi_grid():
+    tlx, tly, w, h = B.aligned_roi(100.3, 50.7, 700.2, 300.9, 4, 1024, 2048)
+    g = 16
+    assert tlx % g == 0 and tly % g == 0 and w % g == 0 and h % g == 0
+    assert tlx <= 100 and tly <= 50
+    assert tlx + w >= 701 and tly + h >= 301
+
+
+def test_multiband_blend_identity():
+    """Blending one image reproduces it (away from ROI borders)."""
+    r = np.random.default_rng(0)
+    img = r.uniform(0, 255, (128, 192, 3)).astype(np.float32)
+    bands = 4
+    canvas = B.mb_prepare(128, 192, bands)
+    w = jnp.ones((128, 192), jnp.float32)
+    canvas = B.mb_feed(canvas, jnp.asarray(img), w, 0, 0)
+    out, valid = B.mb_blend(canvas, 128, 192)
+    assert np.asarray(valid).all()
+    assert np.abs(np.asarray(out) - img).max() < 0.5
+
+
+def test_multiband_blend_two_halves_smooth():
+    """Blending two constant images along a seam has no visible banding."""
+    h, w = 64, 128
+    a = jnp.full((h, w, 3), 100.0)
+    b = jnp.full((h, w, 3), 160.0)
+    wa = jnp.asarray((np.arange(w) < w // 2).astype(np.float32))
+    wa = jnp.broadcast_to(wa, (h, w))
+    wb = 1.0 - wa
+    canvas = B.mb_prepare(h, w, 3)
+    canvas = B.mb_feed(canvas, a, wa, 0, 0)
+    canvas = B.mb_feed(canvas, b, wb, 0, 0)
+    out, _ = B.mb_blend(canvas, h, w)
+    out = np.asarray(out)
+    # ends keep their levels; transition is monotone and smooth
+    assert abs(out[32, 4, 0] - 100) < 3
+    assert abs(out[32, -4, 0] - 160) < 3
+    grad = np.diff(out[32, :, 0])
+    assert grad.max() < 25  # no hard step
+    assert (grad >= -1.5).all()  # monotone-ish
+
+
+def test_feather_blend_weights():
+    wmap = np.asarray(B.border_feather_weight(100, 200))
+    assert wmap[0, 100] < 0.1  # border
+    assert wmap[50, 100] == 1.0  # interior saturates
+    out, valid = B.feather_blend(
+        [jnp.full((10, 10, 3), 50.0), jnp.full((10, 10, 3), 150.0)],
+        [jnp.full((10, 10), 1.0), jnp.full((10, 10), 1.0)])
+    assert np.allclose(np.asarray(out), 100.0)
+
+
+def test_seam_prefers_identical_region():
+    """Seam must run through the zero-cost band where images agree."""
+    r = np.random.default_rng(1)
+    h, w = 64, 96
+    base = r.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    img_a = base.copy()
+    img_b = base.copy()
+    # images differ except in columns 40..56 (the agreement corridor)
+    img_b[:, :40] += 60
+    img_b[:, 56:] -= 60
+    mask = jnp.ones((h, w), bool)
+    na, nb = S.pairwise_seam(jnp.asarray(img_a), jnp.asarray(img_b),
+                             mask, mask, axis="vertical")
+    na = np.asarray(na)
+    nb = np.asarray(nb)
+    # disjoint and covering
+    assert not (na & nb).any()
+    assert (na | nb).all()
+    # seam column within the agreement corridor for every row
+    seam_cols = na.sum(axis=1)
+    assert (seam_cols >= 39).all() and (seam_cols <= 57).all()
+
+
+def test_seam_no_overlap_passthrough():
+    h, w = 32, 64
+    img = jnp.zeros((h, w, 3))
+    ma = np.zeros((h, w), bool)
+    mb = np.zeros((h, w), bool)
+    ma[:, :30] = True
+    mb[:, 34:] = True
+    na, nb = S.pairwise_seam(img, img, jnp.asarray(ma), jnp.asarray(mb))
+    assert (np.asarray(na) == ma).all()
+    assert (np.asarray(nb) == mb).all()
+
+
+def test_gain_solve_recovers_exposure():
+    """Two overlapping constant images with a gain offset."""
+    h, w = 48, 96
+    base = 120.0
+    inten = np.zeros((2, h, w), np.float32)
+    masks = np.zeros((2, h, w), bool)
+    inten[0, :, :64] = base
+    masks[0, :, :64] = True
+    inten[1, :, 32:] = base * 0.8  # darker
+    masks[1, :, 32:] = True
+    gains = np.asarray(E.gain_compensate_scalar(
+        jnp.asarray(inten), jnp.asarray(masks), similarity_thresh=0.0))
+    # OpenCV's beta prior makes equalization intentionally partial: with
+    # I=120/96 the closed-form optimum closes ~82% of the 20% gap.
+    ratio = (gains[1] * base * 0.8) / (gains[0] * base)
+    assert gains[1] > 1.0 > gains[0]
+    assert abs(ratio - 0.961) < 0.01, (gains, ratio)
+
+
+def test_autocrop():
+    img = np.zeros((100, 120, 3), np.uint8)
+    img[20:80, 30:100] = 200
+    out = auto_crop_black_border(img)
+    assert out.shape == (60, 70, 3)
+    y0, y1, x0, x1 = (int(v) for v in content_bbox(jnp.asarray(
+        img.astype(np.float32))))
+    assert (y0, y1, x0, x1) == (20, 80, 30, 100)
+
+
+def test_autocrop_all_black():
+    img = np.zeros((50, 60, 3), np.uint8)
+    out = auto_crop_black_border(img)
+    assert out.shape == (50, 60, 3)

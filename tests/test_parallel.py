@@ -1,0 +1,51 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() == 8
+
+
+def test_dryrun_multichip_8():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    model, n_good, n_inl, ok = fn(*args)
+    assert model.shape == (3, 3)
+    assert bool(ok), (int(n_good), int(n_inl))
+    # the planted shift is (40, 24); similarity should recover it
+    m = np.asarray(model)
+    assert abs(m[0, 2] + 40) < 1.5 and abs(m[1, 2] + 24) < 1.5, m
+
+
+def test_sharded_matches_single_device():
+    """The psum-reduced bundle adjust must equal the 1-device result."""
+    from drone_image_stitch_cpp_tpu.parallel.mesh import make_mesh
+    from drone_image_stitch_cpp_tpu.parallel.sortie_step import (
+        build_sortie_step, demo_inputs)
+
+    n_frames, h, w = 4, 96, 128
+    outs = []
+    for nd in (1, 4):
+        mesh = make_mesh(nd)
+        step = build_sortie_step(mesh, n_frames, h, w, max_kp=64,
+                                 range_width=2, n_hyp=64,
+                                 canvas_h=128, canvas_w=160)
+        frames, keys = demo_inputs(mesh, n_frames, h, w)
+        t, canvas, _ = step(frames, keys)
+        outs.append((np.asarray(t), np.asarray(canvas)))
+    t1, c1 = outs[0]
+    t4, c4 = outs[1]
+    assert np.allclose(t1, t4, atol=1e-3), np.abs(t1 - t4).max()
+    assert np.allclose(c1, c4, atol=0.5)
