@@ -52,7 +52,7 @@ def bench_tpu(frames):
     from drone_image_stitch_cpp_tpu.ops.features import detect_and_describe
     from drone_image_stitch_cpp_tpu.ops import match as M
     from drone_image_stitch_cpp_tpu.ops import ransac as R
-    from drone_image_stitch_cpp_tpu.ops.warp import warp_affine
+    from drone_image_stitch_cpp_tpu.ops.pallas_warp import warp_affine
 
     log(f"jax backend: {jax.default_backend()} devices: {jax.devices()}")
     scale = scale_for_megapixels(FRAME_H, FRAME_W, REG_MPX)
@@ -92,19 +92,19 @@ def bench_tpu(frames):
             ninls.append(ni)
         return jnp.stack(models), jnp.stack(ninls)
 
-    @jax.jit
-    def warp_all(f, models):
+    def warp_all(f, models_np):
         outs = []
         for i in range(N_FRAMES - 1):
-            a23 = models[i][:2, :]
-            outs.append(warp_affine(f[i + 1], a23, FRAME_H, FRAME_W))
-        return jnp.stack(outs)
+            outs.append(warp_affine(f[i + 1], models_np[i][:2, :],
+                                    FRAME_H, FRAME_W))
+        return outs
 
     # warmup / compile
     small = prep(frames_dev)
     models, ninl = register(small)
-    warped = warp_all(frames_dev, models)
-    warped.block_until_ready()
+    models_np = np.asarray(models)
+    warped = warp_all(frames_dev, models_np)
+    float(np.asarray(warped[-1][0, 0]))  # force through the relay
     log(f"warmup inliers: {np.asarray(ninl).tolist()}")
 
     t0 = time.perf_counter()
@@ -112,8 +112,8 @@ def bench_tpu(frames):
     for _ in range(reps):
         small = prep(frames_dev)
         models, ninl = register(small)
-        warped = warp_all(frames_dev, models)
-    warped.block_until_ready()
+        warped = warp_all(frames_dev, np.asarray(models))
+        float(np.asarray(warped[-1][0, 0]))
     dt = (time.perf_counter() - t0) / reps
     fps = N_FRAMES / dt
     log(f"tpu: {dt*1000:.1f} ms/batch -> {fps:.2f} frames/s")

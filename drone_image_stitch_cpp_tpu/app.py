@@ -86,11 +86,11 @@ def _undistort_if_ready(images: List[np.ndarray], tuning: StitchTuning,
 
 def _log_runtime_options(tuning: StitchTuning) -> None:
     """Reference: logRuntimeOptions (stitch_app.cpp:82-113)."""
-    import jax
+    from .runtime.device import describe_devices, select_backend
     log = get_logger()
-    log.log("Main", "devices",
-            backend=jax.default_backend(),
-            devices=[str(d) for d in jax.devices()])
+    backend = select_backend(tuning.use_opencl and tuning.try_gpu)
+    log.log("Main", "devices", backend=backend,
+            devices=describe_devices())
     from .config.tuning import tuning_as_dict
     log.log("Main", "tuning", **tuning_as_dict(tuning))
 

@@ -153,12 +153,15 @@ def _extrema_candidates(dog: jnp.ndarray, prelim_thresh: float, k: int):
 
 def _gather_cube(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
                  x: jnp.ndarray) -> jnp.ndarray:
-    """(3,3,3) neighborhood around (s, y, x), clipped at borders."""
-    ds = jnp.arange(-1, 2)
-    ss = jnp.clip(s + ds[:, None, None], 0, dog.shape[0] - 1)
-    yy = jnp.clip(y + ds[None, :, None], 0, dog.shape[1] - 1)
-    xx = jnp.clip(x + ds[None, None, :], 0, dog.shape[2] - 1)
-    return dog[ss, yy, xx]
+    """(3,3,3) neighborhood around (s, y, x) via one contiguous slice.
+
+    Candidates and refinement moves are confined to the interior (1-px
+    border excluded), so the clamped start never actually shifts.
+    """
+    s0 = jnp.clip(s - 1, 0, dog.shape[0] - 3)
+    y0 = jnp.clip(y - 1, 0, dog.shape[1] - 3)
+    x0 = jnp.clip(x - 1, 0, dog.shape[2] - 3)
+    return jax.lax.dynamic_slice(dog, (s0, y0, x0), (3, 3, 3))
 
 
 def _refine_one(dog: jnp.ndarray, cand: jnp.ndarray, n_layers: int,
@@ -267,41 +270,40 @@ def _orientation_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
     Histogram = 36 bins, gaussian-weighted magnitudes within radius
     4.5*scale, smoothed with the [1,4,6,4,1]/16 circular kernel; dominant
     peak refined by parabolic interpolation.
+
+    TPU note: the patch is fetched as ONE contiguous dynamic_slice per
+    keypoint (vmapped slices vectorize; per-element gathers at K x 35 x 35
+    indices dominated the whole detector). Border keypoints get a clamped
+    (shifted) slice; all weights/masks use the actual slice coordinates.
+    The histogram is 36 masked reductions — no scatter, no (P,P,36) one-hot.
     """
     h, w = gauss.shape[1], gauss.shape[2]
+    # +1 ring for central differences; tiny top octaves clamp to image size
+    p2 = min(2 * patch_r + 3, h, w)
     radius = jnp.round(_ORI_RADIUS_FACTOR * scale)
     xi = jnp.round(x).astype(jnp.int32)
     yi = jnp.round(y).astype(jnp.int32)
-    d = jnp.arange(-patch_r, patch_r + 1)
-    dy_off = d[:, None]
-    dx_off = d[None, :]
-    yy = yi + dy_off
-    xx = xi + dx_off
-    inb = ((yy >= 1) & (yy <= h - 2) & (xx >= 1) & (xx <= w - 2)
-           & (jnp.abs(dy_off) <= radius) & (jnp.abs(dx_off) <= radius))
-    yc = jnp.clip(yy, 0, h - 1)
     li = jnp.clip(layer, 0, gauss.shape[0] - 1)
-    # 3-D pointwise gathers: indexing gauss[li] first would materialize a
-    # full (H, W) layer copy PER KEYPOINT under vmap (~100 GB at K=1800)
-    lb = jnp.broadcast_to(li, yc.shape)
-    gx = 0.5 * (gauss[lb, yc, jnp.clip(xx + 1, 0, w - 1)]
-                - gauss[lb, yc, jnp.clip(xx - 1, 0, w - 1)])
-    gy = 0.5 * (gauss[lb, jnp.clip(yy - 1, 0, h - 1),
-                      jnp.clip(xx, 0, w - 1)]
-                - gauss[lb, jnp.clip(yy + 1, 0, h - 1),
-                        jnp.clip(xx, 0, w - 1)])
+    y0 = jnp.clip(yi - patch_r - 1, 0, h - p2)
+    x0 = jnp.clip(xi - patch_r - 1, 0, w - p2)
+    patch = jax.lax.dynamic_slice(gauss, (li, y0, x0), (1, p2, p2))[0]
+    gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
+    gy = 0.5 * (patch[:-2, 1:-1] - patch[2:, 1:-1])  # y-up
+    # actual offsets of the gradient grid relative to the keypoint
+    gy_rows = (y0 + 1 + jnp.arange(p2 - 2)) - yi
+    gx_cols = (x0 + 1 + jnp.arange(p2 - 2)) - xi
+    dy_off = gy_rows[:, None].astype(jnp.float32)
+    dx_off = gx_cols[None, :].astype(jnp.float32)
+    inb = ((jnp.abs(dy_off) <= radius) & (jnp.abs(dx_off) <= radius))
     mag = jnp.sqrt(gx * gx + gy * gy)
     sig = _ORI_SIG_FACTOR * scale
-    wgt = jnp.exp(-(dy_off.astype(jnp.float32) ** 2
-                    + dx_off.astype(jnp.float32) ** 2) / (2.0 * sig * sig))
+    wgt = jnp.exp(-(dy_off ** 2 + dx_off ** 2) / (2.0 * sig * sig))
     contrib = jnp.where(inb, mag * wgt, 0.0)
     ang = jnp.arctan2(gy, gx)  # y-up, [-pi, pi]
     binf = (ang / (2.0 * jnp.pi)) * _ORI_BINS
     bini = jnp.round(binf).astype(jnp.int32) % _ORI_BINS
-    # scatter-add histogram: a (P, P, 36) one-hot here costs gigabytes once
-    # vmapped over K keypoints x B frames
-    hist = jnp.zeros((_ORI_BINS,), jnp.float32).at[
-        bini.reshape(-1)].add(contrib.reshape(-1))
+    hist = jnp.stack([jnp.sum(jnp.where(bini == b, contrib, 0.0))
+                      for b in range(_ORI_BINS)])
     # circular smooth [1,4,6,4,1]/16
     hs = (jnp.roll(hist, 2) + jnp.roll(hist, -2)
           + 4.0 * (jnp.roll(hist, 1) + jnp.roll(hist, -1))
@@ -344,10 +346,18 @@ def _spatial_weights(n: int = _DESC_SAMPLES, d: int = _DESC_D) -> np.ndarray:
     return w
 
 
+_DESC_PATCH_R = 34  # covers spacing*8.5*sqrt(2) at sigma_max ~3.6
+
+
 def _descriptor_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
                     x: jnp.ndarray, scale: jnp.ndarray,
                     angle: jnp.ndarray) -> jnp.ndarray:
-    """128-d descriptor from a rotated 16x16 sample grid (one keypoint)."""
+    """128-d descriptor from a rotated 16x16 sample grid (one keypoint).
+
+    TPU note: one contiguous dynamic_slice fetches the support patch; the
+    rotated bilinear taps then gather from the small per-keypoint patch
+    (batched gather over a VMEM-sized operand) instead of the full image.
+    """
     h, w = gauss.shape[1], gauss.shape[2]
     n = _DESC_SAMPLES
     hist_width = _DESC_HIST_WIDTH_FACTOR * scale
@@ -365,19 +375,23 @@ def _descriptor_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
     sy = y + (-sa * u + ca * v)
     li = jnp.clip(layer, 0, gauss.shape[0] - 1)
 
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = sx - x0
-    fy = sy - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
-    # 3-D pointwise gathers (see _orientation_one: gauss[li] would copy a
-    # full layer per keypoint under vmap)
-    lb = jnp.broadcast_to(li, x0i.shape)
-    v00 = gauss[lb, y0i, x0i]
-    v01 = gauss[lb, y0i, x0i + 1]
-    v10 = gauss[lb, y0i + 1, x0i]
-    v11 = gauss[lb, y0i + 1, x0i + 1]
+    pd = min(2 * _DESC_PATCH_R + 2, h, w)  # tiny top octaves clamp
+    py0 = jnp.clip(jnp.round(y).astype(jnp.int32) - _DESC_PATCH_R, 0, h - pd)
+    px0 = jnp.clip(jnp.round(x).astype(jnp.int32) - _DESC_PATCH_R, 0, w - pd)
+    sup = jax.lax.dynamic_slice(gauss, (li, py0, px0), (1, pd, pd))[0]
+
+    sxp = sx - px0.astype(jnp.float32)
+    syp = sy - py0.astype(jnp.float32)
+    x0 = jnp.floor(sxp)
+    y0 = jnp.floor(syp)
+    fx = sxp - x0
+    fy = syp - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, pd - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, pd - 2)
+    v00 = sup[y0i, x0i]
+    v01 = sup[y0i, x0i + 1]
+    v10 = sup[y0i + 1, x0i]
+    v11 = sup[y0i + 1, x0i + 1]
     patch = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
              + (v10 * (1 - fx) + v11 * fx) * fy)
 

@@ -1,0 +1,214 @@
+"""Pallas TPU kernel: bilinear affine warp without gathers.
+
+Replaces the XLA gather lowering of ops/warp.warp_affine on the hot path
+(cv::warpAffine analog; full-resolution compose warps dominate the
+mosaicking pipeline: ~350 ms per 4K frame as XLA gathers on v5e).
+
+Design (TPU-native, no per-element gathers):
+  * the output is tiled (TILE x TILE); each tile's source preimage bounding
+    box is DMA'd from HBM into a VMEM scratch block (per-tile starts come
+    in via scalar prefetch);
+  * mosaicking transforms are near-identity (|linear - I| <= _MAX_DEV), so
+    within one output row the source row index spans only a few sublanes
+    and the source column tracks the lane index with bounded drift.
+    Bilinear sampling becomes a sum over a few STATIC row reads / column
+    shifts weighted by per-lane hat weights (two nonzero per pixel) — pure
+    VPU FMAs on contiguous vectors, no gathers;
+  * the vertical-pass weight is evaluated per source column via the exact
+    column->lane inverse for the row, so the two-pass approximation error
+    is bounded by |i10| (<= _MAX_DEV) times one bilinear column offset —
+    well under 0.1 px for mosaic warps;
+  * out-of-image taps get zero weight, reproducing BORDER_CONSTANT(0).
+
+The wrapper falls back to the XLA gather path when the transform is not
+near-identity (or off-TPU), keeping full cv::warpAffine capability.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import jax.experimental.pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .transform import invert_affine
+from .warp import warp_affine as warp_affine_xla
+
+TILE = 128
+SRC_H = 192   # VMEM source block per tile (rows; start 8-aligned)
+SRC_W = 384   # block cols; starts must be 128-aligned for HBM DMA, so the
+              # in-block offset can reach ~128+; a dynamic lane roll
+              # re-centers it before the static shift window
+NV = 16       # vertical taps (dynamic sublane starts are allowed)
+NH = 24       # static lane shifts after the dynamic roll re-centering
+_MAX_DEV = 0.05  # max |linear - I| the static windows cover
+_INTERPRET = False  # set True for CPU interpreter debugging
+
+
+def _kernel(starts_ref, params_ref, src_hbm, out_ref, src_vmem, sem):
+    """One output tile: DMA source block, two-pass shift-select bilinear."""
+    t = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    # host guarantees HBM-DMA tile alignment; the hint lets Mosaic prove it
+    sy0 = pl.multiple_of(starts_ref[t, 0], 8)
+    sx0 = pl.multiple_of(starts_ref[t, 1], 128)
+    oy0 = starts_ref[t, 2]
+    ox0 = starts_ref[t, 3]
+
+    i00 = params_ref[0]
+    i01 = params_ref[1]
+    i02 = params_ref[2]
+    i10 = params_ref[3]
+    i11 = params_ref[4]
+    i12 = params_ref[5]
+    hs = params_ref[6]
+    ws = params_ref[7]
+
+    dma = pltpu.make_async_copy(
+        src_hbm.at[pl.ds(sy0, SRC_H), pl.ds(sx0, SRC_W)], src_vmem, sem)
+    dma.start()
+    dma.wait()
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1).astype(
+        jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, SRC_W), 1).astype(
+        jnp.float32)
+    sy0f = sy0.astype(jnp.float32)
+    sx0f = sx0.astype(jnp.float32)
+    oy0f = oy0.astype(jnp.float32)
+    ox0f = ox0.astype(jnp.float32)
+
+    def row_body(r, carry):
+        rf = r.astype(jnp.float32)
+        yterm = i11 * (oy0f + rf)
+        xterm = i01 * (oy0f + rf)
+
+        # ---- vertical pass: blend NV consecutive source rows ------------
+        # weight evaluated per source column via the exact column->lane
+        # inverse for this row: lane(col) = ((col + sx0 - i02 - xterm)
+        # / i00) - ox0
+        lane_of_col = (cols + sx0f - i02 - xterm) / i00 - ox0f
+        sy_col = i10 * (ox0f + lane_of_col) + yterm + i12 - sy0f
+        # base_v may go negative at clamped image borders: the access is
+        # clipped into the block and the weight masks invalid rows
+        base_v = (jnp.floor(i10 * (ox0f + 63.5) + yterm + i12 - sy0f)
+                  .astype(jnp.int32) - NV // 2 + 1)
+        tmp = jnp.zeros((1, SRC_W), jnp.float32)
+        for k in range(NV):
+            row_idx = base_v + k
+            rif = row_idx.astype(jnp.float32)
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(sy_col - rif))
+            yabs = sy0f + rif
+            valid = ((yabs >= 0.0) & (yabs <= hs - 1.0)
+                     & (rif >= 0.0) & (rif <= SRC_H - 1.0))
+            w = jnp.where(valid, w, 0.0)
+            safe_idx = jnp.clip(row_idx, 0, SRC_H - 1)
+            tmp = tmp + w * src_vmem[pl.ds(safe_idx, 1), :]
+
+        # ---- horizontal pass --------------------------------------------
+        # dynamic lane starts are rejected by Mosaic, so re-center with a
+        # dynamic roll, then blend NH STATIC lane shifts
+        sx_loc = i00 * (ox0f + lanes) + xterm + i02 - sx0f
+        mid = i00 * (ox0f + 63.5) + xterm + i02 - sx0f - 63.5
+        # base_h is unclamped: the roll is modular, and any tap whose block
+        # column falls outside [0, SRC_W) is weight-masked below (that only
+        # happens when sx0 was border-clamped, where the true sample lies
+        # outside the image anyway). Bound only for roll-shift sanity.
+        base_h = jnp.clip(jnp.floor(mid).astype(jnp.int32) - NH // 2 + 1,
+                          -SRC_W, SRC_W)
+        rolled = pltpu.roll(tmp, shift=-base_h, axis=1)
+        acc = jnp.zeros((1, TILE), jnp.float32)
+        for k in range(NH):
+            seg = rolled[:, k:k + TILE]
+            colpos = (base_h + k).astype(jnp.float32) + lanes
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(sx_loc - colpos))
+            xabs = sx0f + colpos
+            valid = ((xabs >= 0.0) & (xabs <= ws - 1.0)
+                     & (colpos >= 0.0) & (colpos <= SRC_W - 1.0))
+            w = jnp.where(valid, w, 0.0)
+            acc = acc + w * seg
+        out_ref[pl.ds(r, 1), :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, TILE, row_body, 0)
+
+
+def _tile_starts(inv: np.ndarray, out_h: int, out_w: int, src_h: int,
+                 src_w: int):
+    """Per-tile clamped source-block starts (host, numpy)."""
+    ny = -(-out_h // TILE)
+    nx = -(-out_w // TILE)
+    starts = np.zeros((ny * nx, 4), np.int32)
+    corners = np.asarray([[0.0, 0.0], [TILE - 1.0, 0.0], [0.0, TILE - 1.0],
+                          [TILE - 1.0, TILE - 1.0]])
+    for ty in range(ny):
+        for tx in range(nx):
+            oy, ox = ty * TILE, tx * TILE
+            pts = corners + np.asarray([[ox, oy]])
+            sx = inv[0, 0] * pts[:, 0] + inv[0, 1] * pts[:, 1] + inv[0, 2]
+            sy = inv[1, 0] * pts[:, 0] + inv[1, 1] * pts[:, 1] + inv[1, 2]
+            # HBM DMA starts must be tile-aligned: rows 8, cols 128
+            sy0 = (int(np.floor(sy.min())) - 8) & ~7
+            sx0 = (int(np.floor(sx.min())) - 8) & ~127
+            sy0 = max(0, min(sy0, (src_h - SRC_H) & ~7))
+            sx0 = max(0, min(sx0, (src_w - SRC_W) & ~127))
+            starts[ty * nx + tx] = (sy0, sx0, oy, ox)
+    return starts, ny, nx
+
+
+def pallas_warp_supported(a23: np.ndarray, src_h: int, src_w: int) -> bool:
+    lin = np.asarray(a23)[:2, :2]
+    dev = np.abs(lin - np.eye(2)).max()
+    return bool(dev <= _MAX_DEV and src_h >= SRC_H and src_w >= SRC_W)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "ny", "nx"))
+def _run(img, starts, params, out_h: int, out_w: int, ny: int, nx: int):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, *_: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((SRC_H, SRC_W), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    padded = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((ny * TILE, nx * TILE), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_INTERPRET,
+    )(starts, params, img)
+    return padded[:out_h, :out_w]
+
+
+def warp_affine(img: jnp.ndarray, a23, out_h: int, out_w: int
+                ) -> jnp.ndarray:
+    """Drop-in warp: Pallas fast path, XLA gather fallback.
+
+    ``img``: (H, W) or (H, W, C) float32; ``a23``: (2, 3) src->dst affine
+    (host-known values enable the fast path; traced arrays fall back).
+    """
+    try:
+        a23_np = np.asarray(a23)
+    except Exception:
+        return warp_affine_xla(img, a23, out_h, out_w)
+    src_h, src_w = int(img.shape[0]), int(img.shape[1])
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu and pallas_warp_supported(a23_np, src_h, src_w)):
+        return warp_affine_xla(img, jnp.asarray(a23_np), out_h, out_w)
+
+    inv = np.asarray(invert_affine(jnp.asarray(a23_np, jnp.float32)))
+    starts, ny, nx = _tile_starts(inv, out_h, out_w, src_h, src_w)
+    params = jnp.asarray([inv[0, 0], inv[0, 1], inv[0, 2],
+                          inv[1, 0], inv[1, 1], inv[1, 2],
+                          float(src_h), float(src_w)], jnp.float32)
+    starts = jnp.asarray(starts)
+    if img.ndim == 2:
+        return _run(img.astype(jnp.float32), starts, params, out_h, out_w,
+                    ny, nx)
+    chans = [_run(img[..., c].astype(jnp.float32), starts, params, out_h,
+                  out_w, ny, nx) for c in range(img.shape[-1])]
+    return jnp.stack(chans, axis=-1)

@@ -55,6 +55,7 @@ from ..ops.gaussian import gaussian_blur
 from ..ops.resize import scale_for_max_dim
 from ..ops.transform import compose_affine, transformed_bbox
 from ..ops.warp import warp_affine, warp_content_mask
+from ..ops.pallas_warp import warp_affine as fast_warp
 from ..runtime.logging import get_logger
 from .registration import detect_features
 
@@ -350,13 +351,13 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         rw_b = B.align_down(min(B.align_up(rw_, 256), cw - tlx), 1 << bands)
         rh_b = B.align_down(min(B.align_up(rh_, 256), ch - tly), 1 << bands)
         t_roi = np.asarray([[1, 0, -tlx], [0, 1, -tly]], np.float32)
-        t_full = jnp.asarray(np.asarray(compose_affine(
-            jnp.asarray(t_roi), jnp.asarray(t_canvas[i]))))
+        t_full = np.asarray(compose_affine(
+            jnp.asarray(t_roi), jnp.asarray(t_canvas[i])))
         img32 = jnp.asarray(strips[i].astype(np.float32))
         img32 = img32 * jnp.asarray(total_gains[i])
-        wimg = warp_affine(img32, t_full, rh_b, rw_b)
-        cmask = warp_content_mask(nonblack_mask(img32, 2.0), t_full,
-                                  rh_b, rw_b, footprint_thresh=0.999)
+        wimg = fast_warp(img32, t_full, rh_b, rw_b)
+        cmask = fast_warp(nonblack_mask(img32, 2.0).astype(jnp.float32),
+                          t_full, rh_b, rw_b) >= 0.999
         # soft feathered seam mask (sigma=10, :332-351)
         sroi = _mask_roi_upsample(seam_out[i], tlx, tly, rh_b, rw_b,
                                   seam_scale)

@@ -32,6 +32,7 @@ from ..ops.color import apply_channel_gains, nonblack_mask
 from ..ops.resize import resize_area, resize_linear, scale_for_megapixels
 from ..ops.transform import compose_affine, h3_to_affine, transformed_bbox
 from ..ops.warp import warp_affine, warp_content_mask
+from ..ops.pallas_warp import warp_affine as fast_warp
 from ..runtime.logging import get_logger
 from .bundle import bundle_adjust_similarity_jit, params_from_affine
 from .pairgraph import (PairGraph, banded_pairs, all_pairs,
@@ -165,13 +166,18 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         seam_imgs.append(simg)
         seam_masks.append(smask)
 
-    # exposure compensation stats at seam scale
-    gains = None
+    # exposure compensation at seam scale: BlocksGainCompensator analog —
+    # scalar gains solved globally, modulated by per-block brightness
+    # ratio surfaces (ops/exposure.block_gain_maps)
+    gain_maps = None
     if tuning.use_blocks_gain:
         intens = jnp.stack([im.mean(axis=-1) for im in seam_imgs])
         masks = jnp.stack(seam_masks)
-        gains = np.asarray(E.gain_compensate_scalar(intens, masks))
-        log.log(stage, "gains", gains=np.round(gains, 3).tolist())
+        gain_maps = E.block_gain_maps(intens, masks,
+                                      block=max(8, 32 * sh // 1024))
+        log.log(stage, "gains",
+                gains=[round(float(g), 3)
+                       for g in np.asarray(gain_maps.mean(axis=(1, 2)))])
 
     axes = _axes_from_transforms(np.asarray(transforms))
     seam_masks = S.find_seams_sequential(seam_imgs, seam_masks, axes)
@@ -200,15 +206,17 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         t_full = np.asarray(compose_affine(jnp.asarray(t_roi),
                                            jnp.asarray(t_canvas[i])))
         img32 = jnp.asarray(images[i].astype(np.float32))
-        if gains is not None:
-            img32 = img32 * jnp.float32(gains[i])
-        wimg = warp_affine(img32, jnp.asarray(t_full), rh_b, rw_b)
+        wimg = fast_warp(img32, t_full, rh_b, rw_b)
+        if gain_maps is not None:
+            # warp (gain - 1) so the constant border resolves to gain 1
+            groi = 1.0 + _upsample_mask_roi(gain_maps[i] - 1.0, tlx, tly,
+                                            rh_b, rw_b, seam_scale)
+            wimg = wimg * groi[..., None]
         # seam mask upsampled from seam scale into the ROI
         smask_roi = _upsample_mask_roi(seam_masks[i], tlx, tly, rh_b, rw_b,
                                        seam_scale)
-        cmask = warp_content_mask(nonblack_mask(img32, -1.0),
-                                  jnp.asarray(t_full), rh_b, rw_b,
-                                  footprint_thresh=0.5)
+        cmask = fast_warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
+                          t_full, rh_b, rw_b) >= 0.5
         weight = smask_roi * cmask.astype(jnp.float32)
         canvas = feed(canvas, wimg, weight, tlx, tly, cmask)
 
