@@ -14,10 +14,11 @@ Architecture (TPU-first, NOT a port of OpenCV's dynamic-shape code):
   * sub-pixel refinement, orientation histograms, and descriptors run as
     vmapped per-candidate gather kernels (K candidates, static K).
 
-Descriptor: Lowe-style 4x4 spatial x 8 orientation bins from a rotated,
-scale-normalized 16x16 sample grid. Spatial trilinear weights are *fixed* for
-the grid, so soft-binning becomes one (256,8)x(256,16) matmul per keypoint —
-MXU work instead of scatter. Descriptors are L2-normalized, clipped at 0.2,
+Descriptor: Lowe/OpenCV-style 4x4 spatial x 8 orientation bins computed by
+iterating the NATIVE pixels of one contiguous support-patch slice and
+soft-assigning each into rotated bins (trilinear hats) — no rotated
+resampling, hence no in-patch gathers; the accumulation is 16 masked
+vector-matrix products. Descriptors are L2-normalized, clipped at 0.2,
 renormalized, scaled by 512 (OpenCV's distance scale).
 
 Note: orientation assignment keeps a single dominant peak per keypoint
@@ -323,8 +324,6 @@ def _orientation_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
 # --------------------------------------------------------------------------
 # descriptor
 # --------------------------------------------------------------------------
-
-@functools.lru_cache(maxsize=4)
 def _spatial_weights(n: int = _DESC_SAMPLES, d: int = _DESC_D) -> np.ndarray:
     """Fixed (n*n, d*d) trilinear-spatial x gaussian weight matrix."""
     step = d / float(n)  # bin units per sample
@@ -346,72 +345,76 @@ def _spatial_weights(n: int = _DESC_SAMPLES, d: int = _DESC_D) -> np.ndarray:
     return w
 
 
-_DESC_PATCH_R = 34  # covers spacing*8.5*sqrt(2) at sigma_max ~3.6
+_DESC_PATCH_R = 39  # covers hist_width*sqrt(2)*(d+1)/2 ~= 10.6*sigma_max
 
 
 def _descriptor_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
                     x: jnp.ndarray, scale: jnp.ndarray,
                     angle: jnp.ndarray) -> jnp.ndarray:
-    """128-d descriptor from a rotated 16x16 sample grid (one keypoint).
+    """128-d descriptor, one keypoint — OpenCV-style native-pixel binning.
 
-    TPU note: one contiguous dynamic_slice fetches the support patch; the
-    rotated bilinear taps then gather from the small per-keypoint patch
-    (batched gather over a VMEM-sized operand) instead of the full image.
+    TPU design: one contiguous dynamic_slice fetches the support patch;
+    gradients come from static shifts of that patch; each NATIVE pixel is
+    soft-assigned to rotated spatial bins and orientation bins (trilinear
+    hats), so there is no rotated resampling and therefore no in-patch
+    gather at all. The (4x4 spatial) x (8 orientation) accumulation is 16
+    masked vector-matrix products — MXU/VPU work.
     """
     h, w = gauss.shape[1], gauss.shape[2]
-    n = _DESC_SAMPLES
+    d = _DESC_D
     hist_width = _DESC_HIST_WIDTH_FACTOR * scale
-    spacing = hist_width * _DESC_D / float(n)
-    # y-down rotation by -angle (angle is y-up)
     ca = jnp.cos(angle)
     sa = jnp.sin(angle)
-    # sample grid (n+2) x (n+2) to allow central differences
-    m = n + 2
-    g = (jnp.arange(m, dtype=jnp.float32) - (m - 1) / 2.0)
-    u = g[None, :] * spacing
-    v = g[:, None] * spacing
-    # patch x-axis in image coords = (cos, -sin) [y-down], y-axis = (sin, cos)
-    sx = x + (ca * u + sa * v)
-    sy = y + (-sa * u + ca * v)
     li = jnp.clip(layer, 0, gauss.shape[0] - 1)
 
-    pd = min(2 * _DESC_PATCH_R + 2, h, w)  # tiny top octaves clamp
-    py0 = jnp.clip(jnp.round(y).astype(jnp.int32) - _DESC_PATCH_R, 0, h - pd)
-    px0 = jnp.clip(jnp.round(x).astype(jnp.int32) - _DESC_PATCH_R, 0, w - pd)
+    pd = min(2 * _DESC_PATCH_R + 3, h, w)  # tiny top octaves clamp
+    py0 = jnp.clip(jnp.round(y).astype(jnp.int32) - _DESC_PATCH_R - 1, 0,
+                   h - pd)
+    px0 = jnp.clip(jnp.round(x).astype(jnp.int32) - _DESC_PATCH_R - 1, 0,
+                   w - pd)
     sup = jax.lax.dynamic_slice(gauss, (li, py0, px0), (1, pd, pd))[0]
 
-    sxp = sx - px0.astype(jnp.float32)
-    syp = sy - py0.astype(jnp.float32)
-    x0 = jnp.floor(sxp)
-    y0 = jnp.floor(syp)
-    fx = sxp - x0
-    fy = syp - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, pd - 2)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, pd - 2)
-    v00 = sup[y0i, x0i]
-    v01 = sup[y0i, x0i + 1]
-    v10 = sup[y0i + 1, x0i]
-    v11 = sup[y0i + 1, x0i + 1]
-    patch = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
-             + (v10 * (1 - fx) + v11 * fx) * fy)
+    gx = 0.5 * (sup[1:-1, 2:] - sup[1:-1, :-2])
+    gy = 0.5 * (sup[:-2, 1:-1] - sup[2:, 1:-1])  # y-up
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    theta = jnp.arctan2(gy, gx)  # y-up
 
-    gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
-    gy_down = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
-    mag = jnp.sqrt(gx * gx + gy_down * gy_down)
-    ang = jnp.arctan2(-gy_down, gx)  # y-up, keypoint frame
-    obin = (ang / (2.0 * jnp.pi)) * _DESC_BINS
-    o0 = jnp.floor(obin)
-    frac = obin - o0
-    o0i = o0.astype(jnp.int32) % _DESC_BINS
-    o1i = (o0i + 1) % _DESC_BINS
-    oh = jnp.arange(_DESC_BINS)
-    contrib = (mag[..., None]
-               * ((1.0 - frac)[..., None] * (o0i[..., None] == oh)
-                  + frac[..., None] * (o1i[..., None] == oh)))
-    contrib = contrib.reshape(n * n, _DESC_BINS)
-    wsp = jnp.asarray(_spatial_weights())  # (n*n, 16)
-    desc = jnp.einsum("so,sb->bo", contrib, wsp,
-                      preferred_element_type=jnp.float32).reshape(-1)
+    # native-pixel offsets from the (sub-pixel) keypoint position
+    rows = (py0 + 1 + jnp.arange(pd - 2)).astype(jnp.float32)
+    colsx = (px0 + 1 + jnp.arange(pd - 2)).astype(jnp.float32)
+    dx = colsx[None, :] - x
+    dy_down = rows[:, None] - y
+    # rotate into the keypoint frame (angle is y-up)
+    u = (ca * dx - sa * dy_down) / hist_width   # along orientation
+    v = (sa * dx + ca * dy_down) / hist_width   # perpendicular (y-down)
+    rbin = v + (d - 1) / 2.0
+    cbin = u + (d - 1) / 2.0
+
+    obin = ((theta - angle) / (2.0 * jnp.pi)) * _DESC_BINS
+    obin = jnp.mod(obin, _DESC_BINS)
+
+    # gaussian window + support mask (OpenCV exp_scale = -2/d^2 in bin u)
+    gw = jnp.exp(-(u * u + v * v) * (2.0 / (d * d)))
+    inside = ((rbin > -1.0) & (rbin < d) & (cbin > -1.0) & (cbin < d))
+    m = jnp.where(inside, mag * gw, 0.0).reshape(-1)
+
+    rb = rbin.reshape(-1)
+    cb = cbin.reshape(-1)
+    ob = obin.reshape(-1)
+    # orientation hats with circular distance: (P, 8)
+    odiff = jnp.abs(ob[:, None] - jnp.arange(_DESC_BINS,
+                                             dtype=jnp.float32))
+    wo = jnp.maximum(0.0, 1.0 - jnp.minimum(odiff, _DESC_BINS - odiff))
+
+    descs = []
+    for by in range(d):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(rb - by))
+        for bx in range(d):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(cb - bx))
+            mm = m * wy * wx
+            descs.append(jnp.dot(mm, wo,
+                                 preferred_element_type=jnp.float32))
+    desc = jnp.concatenate(descs)
     nrm = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
     desc = jnp.minimum(desc / nrm, _DESC_MAG_CLIP)
     nrm2 = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
