@@ -119,20 +119,137 @@ def pairwise_seam(img_a: jnp.ndarray, img_b: jnp.ndarray,
     return new_a, new_b
 
 
+def graphcut_pairwise_seam(img_a, img_b, mask_a, mask_b):
+    """Min-cut seam on the overlap (GraphCutSeamFinder COST_COLOR_GRAD
+    analog; reference: stitch_global.cpp:616-619).
+
+    Host-side numpy + the native BK max-flow (native/graphcut.cpp).
+    Returns (new_mask_a, new_mask_b) as numpy bool, or None when the native
+    library is unavailable or there is no overlap — callers fall back to
+    the DP seam, mirroring the reference's GraphCut -> DpSeamFinder ladder.
+    """
+    import numpy as np
+
+    from ..utils.native import graphcut_native
+
+    import cv2
+
+    a = np.asarray(img_a, np.float32)
+    b = np.asarray(img_b, np.float32)
+    ma = np.asarray(mask_a, bool)
+    mb = np.asarray(mask_b, bool)
+    overlap = ma & mb
+    if not overlap.any():
+        return None
+    ys, xs = np.where(ma | mb)
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    a_, b_ = a[y0:y1, x0:x1], b[y0:y1, x0:x1]
+    ma_, mb_ = ma[y0:y1, x0:x1], mb[y0:y1, x0:x1]
+
+    # bound the solver: the augmenting-path max-flow is superlinear in
+    # nodes, so solve the cut at <=GC_MAX_NODES and upsample the labels
+    # (the reference similarly caps its seam canvas, stitch_global.cpp:585)
+    GC_MAX_NODES = 100_000
+    fh, fw = a_.shape[:2]
+    sc = min(1.0, (GC_MAX_NODES / float(fh * fw)) ** 0.5)
+    if sc < 1.0:
+        nh = max(2, int(fh * sc))
+        nw = max(2, int(fw * sc))
+        a_ = cv2.resize(a_, (nw, nh), interpolation=cv2.INTER_AREA)
+        b_ = cv2.resize(b_, (nw, nh), interpolation=cv2.INTER_AREA)
+        ma_s = cv2.resize(ma_.astype(np.uint8), (nw, nh),
+                          interpolation=cv2.INTER_NEAREST).astype(bool)
+        mb_s = cv2.resize(mb_.astype(np.uint8), (nw, nh),
+                          interpolation=cv2.INTER_NEAREST).astype(bool)
+    else:
+        ma_s, mb_s = ma_, mb_
+    both = ma_s & mb_s
+    if not both.any():
+        return None
+    full_ma, full_mb = ma_, mb_
+    ma_, mb_ = ma_s, mb_s
+    h, w = both.shape
+
+    diff = np.sqrt(((a_ - b_) ** 2).sum(-1) + 1e-6)
+    gray_a = a_.mean(-1)
+    gray_b = b_.mean(-1)
+
+    def grad(g):
+        gx = np.zeros_like(g)
+        gy = np.zeros_like(g)
+        gx[:, 1:-1] = 0.5 * np.abs(g[:, 2:] - g[:, :-2])
+        gy[1:-1, :] = 0.5 * np.abs(g[2:, :] - g[:-2, :])
+        return gx + gy
+
+    gsum = grad(gray_a) + grad(gray_b)
+
+    big = np.float32(1e8)
+    cap_src = np.where(ma_ & ~mb_, big, 0.0).astype(np.float32)
+    cap_snk = np.where(mb_ & ~ma_, big, 0.0).astype(np.float32)
+    if cap_src.max() == 0.0 or cap_snk.max() == 0.0:
+        # no exclusive region to anchor a terminal (fully nested masks):
+        # let the DP seam decide (it orients by the motion axis)
+        return None
+    # COST_COLOR_GRAD: color difference damped by local gradient so the
+    # seam prefers running along real edges
+    cost = (diff / (1.0 + 0.5 * gsum) + 1e-3).astype(np.float32)
+    inb = both.astype(np.float32)
+    cap_h = ((cost[:, :-1] + cost[:, 1:]) * 0.5
+             * np.maximum(inb[:, :-1], inb[:, 1:])).astype(np.float32)
+    cap_v = ((cost[:-1, :] + cost[1:, :]) * 0.5
+             * np.maximum(inb[:-1, :], inb[1:, :])).astype(np.float32)
+    # outside-the-union pixels carry no edges
+    union = (ma_ | mb_).astype(np.float32)
+    cap_h *= np.minimum(union[:, :-1], union[:, 1:])
+    cap_v *= np.minimum(union[:-1, :], union[1:, :])
+
+    labels = graphcut_native(cap_src, cap_snk, cap_h, cap_v)
+    if labels is None:
+        return None
+    lab = labels.astype(np.uint8)
+    if lab.shape != full_ma.shape:
+        lab = cv2.resize(lab, (full_ma.shape[1], full_ma.shape[0]),
+                         interpolation=cv2.INTER_NEAREST)
+    lab = lab.astype(bool)
+    both_full = full_ma & full_mb
+    new_a = ma.copy()
+    new_b = mb.copy()
+    na_ = (full_ma & ~full_mb) | (both_full & lab)
+    nb_ = (full_mb & ~full_ma) | (both_full & ~lab)
+    new_a[y0:y1, x0:x1] = na_
+    new_b[y0:y1, x0:x1] = nb_
+    return new_a, new_b
+
+
 def find_seams_sequential(images: list[jnp.ndarray],
                           masks: list[jnp.ndarray],
-                          axes: list[str] | None = None):
+                          axes: list[str] | None = None,
+                          method: str = "dp"):
     """Pairwise-sequential seam assignment over N canvas-frame images.
 
     Mirrors the pairwise strategy of OpenCV's seam finders: for each ordered
     pair (i, j), i < j, carve the overlap between the current masks. The
     caller supplies per-adjacent-pair seam axes (from transform geometry);
     non-adjacent pairs reuse the dominant axis.
+
+    ``method="graphcut"`` uses the native min-cut solver per pair and falls
+    back to the DP seam when unavailable (the reference's ladder).
     """
+    import numpy as np
+
     n = len(images)
     masks = list(masks)
     for i in range(n - 1):
         for j in range(i + 1, n):
+            if method == "graphcut":
+                got = graphcut_pairwise_seam(
+                    np.asarray(images[i]), np.asarray(images[j]),
+                    np.asarray(masks[i]), np.asarray(masks[j]))
+                if got is not None:
+                    masks[i] = jnp.asarray(got[0])
+                    masks[j] = jnp.asarray(got[1])
+                    continue
             ax = "vertical"
             if axes is not None:
                 ax = axes[min(j - 1, len(axes) - 1)]

@@ -334,7 +334,9 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         dt = t_canvas[i + 1][:, 2] - t_canvas[i][:, 2]
         axes.append("vertical" if abs(dt[0]) >= abs(dt[1])
                     else "horizontal")
-    seam_out = S.find_seams_sequential(comp_imgs, list(seam_masks), axes)
+    # graph-cut seams with DP fallback (reference ladder :616-627)
+    seam_out = S.find_seams_sequential(comp_imgs, list(seam_masks), axes,
+                                       method="graphcut")
 
     # ---- multiband blend with soft masks (:632-666) ----------------------
     bands = B.num_blend_bands(tuning.blend_bands, canvas_h, canvas_w)

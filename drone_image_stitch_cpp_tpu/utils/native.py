@@ -41,6 +41,11 @@ def _load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
+        fptr = np.ctypeslib.ndpointer(dtype=np.float32, flags="C")
+        uptr = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C")
+        lib.tm_graphcut.restype = ctypes.c_double
+        lib.tm_graphcut.argtypes = [ctypes.c_int, ctypes.c_int,
+                                    fptr, fptr, fptr, fptr, uptr]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -69,6 +74,24 @@ def decode_image_native(path: str) -> Optional[np.ndarray]:
     finally:
         lib.tm_free(buf)
     return arr
+
+
+def graphcut_native(cap_src: np.ndarray, cap_snk: np.ndarray,
+                    cap_h: np.ndarray, cap_v: np.ndarray
+                    ) -> Optional[np.ndarray]:
+    """Min-cut labels (1 = source side) on a 4-connected grid; None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tm_graphcut"):
+        return None
+    h, w = cap_src.shape
+    labels = np.zeros((h, w), np.uint8)
+    lib.tm_graphcut(h, w,
+                    np.ascontiguousarray(cap_src, np.float32),
+                    np.ascontiguousarray(cap_snk, np.float32),
+                    np.ascontiguousarray(cap_h, np.float32),
+                    np.ascontiguousarray(cap_v, np.float32), labels)
+    return labels
 
 
 def decode_batch_native(paths: List[str],
