@@ -42,14 +42,19 @@ SRC_H = 192   # VMEM source block per tile (rows; start 8-aligned)
 SRC_W = 384   # block cols; starts must be 128-aligned for HBM DMA, so the
               # in-block offset can reach ~128+; a dynamic lane roll
               # re-centers it before the static shift window
-NV = 16       # vertical taps (dynamic sublane starts are allowed)
-NH = 24       # static lane shifts after the dynamic roll re-centering
+ROWS = 8      # output rows per loop iteration (full 8-sublane registers)
+NV = 28       # vertical taps: bilinear + lane drift + 8-row group span
+NH = 28       # static lane shifts after the dynamic roll re-centering
 _MAX_DEV = 0.05  # max |linear - I| the static windows cover
 _INTERPRET = False  # set True for CPU interpreter debugging
 
 
 def _kernel(starts_ref, params_ref, src_hbm, out_ref, src_vmem, sem):
-    """One output tile: DMA source block, two-pass shift-select bilinear."""
+    """One output tile: DMA source block, two-pass shift-select bilinear.
+
+    Processes ROWS output rows per iteration so every VPU op runs on full
+    (8, lanes) registers instead of single sublanes.
+    """
     t = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     # host guarantees HBM-DMA tile alignment; the hint lets Mosaic prove it
     sy0 = pl.multiple_of(starts_ref[t, 0], 8)
@@ -71,31 +76,32 @@ def _kernel(starts_ref, params_ref, src_hbm, out_ref, src_vmem, sem):
     dma.start()
     dma.wait()
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1).astype(
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (ROWS, TILE), 1).astype(
         jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, SRC_W), 1).astype(
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, SRC_W), 1).astype(
+        jnp.float32)
+    rsub = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0).astype(
         jnp.float32)
     sy0f = sy0.astype(jnp.float32)
     sx0f = sx0.astype(jnp.float32)
     oy0f = oy0.astype(jnp.float32)
     ox0f = ox0.astype(jnp.float32)
 
-    def row_body(r, carry):
-        rf = r.astype(jnp.float32)
-        yterm = i11 * (oy0f + rf)
-        xterm = i01 * (oy0f + rf)
+    def row_body(g, carry):
+        r0f = (g * ROWS).astype(jnp.float32)
+        rows_f = r0f + rsub                      # (ROWS, 1)
+        yterm = i11 * (oy0f + rows_f)            # (ROWS, 1)
+        xterm = i01 * (oy0f + rows_f)
 
         # ---- vertical pass: blend NV consecutive source rows ------------
-        # weight evaluated per source column via the exact column->lane
-        # inverse for this row: lane(col) = ((col + sx0 - i02 - xterm)
-        # / i00) - ox0
+        # weights evaluated per source column via the exact column->lane
+        # inverse for each row; one shared base for the whole row group
         lane_of_col = (cols + sx0f - i02 - xterm) / i00 - ox0f
         sy_col = i10 * (ox0f + lane_of_col) + yterm + i12 - sy0f
-        # base_v may go negative at clamped image borders: the access is
-        # clipped into the block and the weight masks invalid rows
-        base_v = (jnp.floor(i10 * (ox0f + 63.5) + yterm + i12 - sy0f)
-                  .astype(jnp.int32) - NV // 2 + 1)
-        tmp = jnp.zeros((1, SRC_W), jnp.float32)
+        rmidf = r0f + (ROWS - 1) * 0.5
+        base_v = (jnp.floor(i10 * (ox0f + 63.5) + i11 * (oy0f + rmidf)
+                            + i12 - sy0f).astype(jnp.int32) - NV // 2 + 1)
+        tmp = jnp.zeros((ROWS, SRC_W), jnp.float32)
         for k in range(NV):
             row_idx = base_v + k
             rif = row_idx.astype(jnp.float32)
@@ -108,18 +114,13 @@ def _kernel(starts_ref, params_ref, src_hbm, out_ref, src_vmem, sem):
             tmp = tmp + w * src_vmem[pl.ds(safe_idx, 1), :]
 
         # ---- horizontal pass --------------------------------------------
-        # dynamic lane starts are rejected by Mosaic, so re-center with a
-        # dynamic roll, then blend NH STATIC lane shifts
         sx_loc = i00 * (ox0f + lanes) + xterm + i02 - sx0f
-        mid = i00 * (ox0f + 63.5) + xterm + i02 - sx0f - 63.5
-        # base_h is unclamped: the roll is modular, and any tap whose block
-        # column falls outside [0, SRC_W) is weight-masked below (that only
-        # happens when sx0 was border-clamped, where the true sample lies
-        # outside the image anyway). Bound only for roll-shift sanity.
+        mid = i00 * (ox0f + 63.5) + i01 * (oy0f + rmidf) + i02 - sx0f \
+            - 63.5
         base_h = jnp.clip(jnp.floor(mid).astype(jnp.int32) - NH // 2 + 1,
                           -SRC_W, SRC_W)
         rolled = pltpu.roll(tmp, shift=-base_h, axis=1)
-        acc = jnp.zeros((1, TILE), jnp.float32)
+        acc = jnp.zeros((ROWS, TILE), jnp.float32)
         for k in range(NH):
             seg = rolled[:, k:k + TILE]
             colpos = (base_h + k).astype(jnp.float32) + lanes
@@ -129,10 +130,10 @@ def _kernel(starts_ref, params_ref, src_hbm, out_ref, src_vmem, sem):
                      & (colpos >= 0.0) & (colpos <= SRC_W - 1.0))
             w = jnp.where(valid, w, 0.0)
             acc = acc + w * seg
-        out_ref[pl.ds(r, 1), :] = acc
+        out_ref[pl.ds(g * ROWS, ROWS), :] = acc
         return carry
 
-    jax.lax.fori_loop(0, TILE, row_body, 0)
+    jax.lax.fori_loop(0, TILE // ROWS, row_body, 0)
 
 
 def _tile_starts(inv: np.ndarray, out_h: int, out_w: int, src_h: int,
