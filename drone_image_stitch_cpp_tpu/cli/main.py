@@ -76,6 +76,10 @@ def main(argv=None) -> int:
         group=args.group, output_root=args.output_root,
         save_strips=not args.no_save_strips, resume=args.resume,
         tuning_overrides=overrides)
+    if args.trace_dir:
+        from ..runtime.logging import device_trace
+        with device_trace(args.trace_dir):
+            return run_stitch_application(cfg)
     return run_stitch_application(cfg)
 
 

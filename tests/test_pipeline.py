@@ -127,3 +127,17 @@ def test_global_needs_two_strips(ortho):
     with pytest.raises(GlobalStitchError):
         stitch_inter_strips_custom([ortho[:100, :100].astype(np.uint8)],
                                    _small_tuning())
+
+
+def test_pairwise_homography_mode(ortho):
+    """Perspective model path (cv::Stitcher PANORAMA-mode analog)."""
+    imgs, _, _ = render_sortie(ortho, 1, 2, frame_h=192, frame_w=256,
+                               overlap=0.5)
+    pano = stitch_pair(imgs[0], imgs[1], _small_tuning(),
+                       model_kind="homography")
+    assert abs(pano.shape[0] - 192) <= 3
+    assert abs(pano.shape[1] - 384) <= 4
+    gt = ortho[40:40 + 192, 40:40 + 384].astype(np.uint8)
+    hh = min(pano.shape[0], gt.shape[0])
+    ww = min(pano.shape[1], gt.shape[1])
+    assert blurred_rmse(pano[:hh, :ww], gt[:hh, :ww]) < 8.0
