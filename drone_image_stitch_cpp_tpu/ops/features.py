@@ -406,15 +406,19 @@ def _descriptor_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
                                              dtype=jnp.float32))
     wo = jnp.maximum(0.0, 1.0 - jnp.minimum(odiff, _DESC_BINS - odiff))
 
+    # accumulate as d row-bin passes of one (d, P)x(P, 8) matmul each:
+    # half the memory passes of 16 separate masked vector dots, and the
+    # contraction runs on the MXU
+    wx_all = jnp.maximum(
+        0.0, 1.0 - jnp.abs(cb[:, None]
+                           - jnp.arange(d, dtype=jnp.float32)))  # (P, 4)
     descs = []
     for by in range(d):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(rb - by))
-        for bx in range(d):
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(cb - bx))
-            mm = m * wy * wx
-            descs.append(jnp.dot(mm, wo,
-                                 preferred_element_type=jnp.float32))
-    desc = jnp.concatenate(descs)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(rb - by)) * m
+        z = wx_all * wy[:, None]                                 # (P, 4)
+        descs.append(jnp.dot(z.T, wo,
+                             preferred_element_type=jnp.float32))  # (4, 8)
+    desc = jnp.concatenate(descs).reshape(-1)
     nrm = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
     desc = jnp.minimum(desc / nrm, _DESC_MAG_CLIP)
     nrm2 = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
