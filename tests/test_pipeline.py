@@ -141,3 +141,17 @@ def test_pairwise_homography_mode(ortho):
     hh = min(pano.shape[0], gt.shape[0])
     ww = min(pano.shape[1], gt.shape[1])
     assert blurred_rmse(pano[:hh, :ww], gt[:hh, :ww]) < 8.0
+
+
+def test_pairwise_modality_presets(ortho):
+    """NIR and LWIR presets drive the same pipeline with their own knobs."""
+    from drone_image_stitch_cpp_tpu.config.tuning import load_stitch_tuning
+    imgs, _, _ = render_sortie(ortho, 1, 2, frame_h=192, frame_w=256,
+                               overlap=0.5)
+    for modality in ("nir", "lwir"):
+        t = load_stitch_tuning(modality).replace(
+            sift_features=512, registration_resol_mpx=-1.0,
+            seam_estimation_resol_mpx=-1.0)
+        pano = stitch_pair(imgs[0], imgs[1], t)
+        assert abs(pano.shape[0] - 192) <= 3, modality
+        assert abs(pano.shape[1] - 384) <= 4, modality
