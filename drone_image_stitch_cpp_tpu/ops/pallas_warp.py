@@ -159,10 +159,17 @@ def _tile_starts(inv: np.ndarray, out_h: int, out_w: int, src_h: int,
     return starts, ny, nx
 
 
-def pallas_warp_supported(a23: np.ndarray, src_h: int, src_w: int) -> bool:
+def pallas_warp_supported(a23: np.ndarray, src_h: int = 0, src_w: int = 0
+                          ) -> bool:
+    """True when the static shift windows cover the transform.
+
+    Source size no longer matters: the wrapper zero-pads any source up to
+    the (8, 128)-aligned block grid, and the kernel masks taps beyond the
+    true (hs, ws), so arbitrary sizes are exact.
+    """
     lin = np.asarray(a23)[:2, :2]
     dev = np.abs(lin - np.eye(2)).max()
-    return bool(dev <= _MAX_DEV and src_h >= SRC_H and src_w >= SRC_W)
+    return bool(dev <= _MAX_DEV)
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "ny", "nx"))
@@ -185,6 +192,31 @@ def _run(img, starts, params, out_h: int, out_w: int, ny: int, nx: int):
     return padded[:out_h, :out_w]
 
 
+def _run_padded(img2d: jnp.ndarray, a23_np: np.ndarray, out_h: int,
+                out_w: int) -> jnp.ndarray:
+    """Pallas warp of one channel, zero-padding the source to the block
+    grid first.
+
+    The source is padded to (8, 128)-aligned dims >= (SRC_H, SRC_W) so
+    every tile's clamped block start can reach the image's last rows and
+    columns (unpadded, the 128-aligned start cap left up to 127 source
+    columns unreachable and silently cropped from the mosaic). The kernel
+    masks taps beyond the true (hs, ws), so zero padding is exact.
+    """
+    src_h, src_w = int(img2d.shape[0]), int(img2d.shape[1])
+    ph = max(SRC_H, -(-src_h // 8) * 8)
+    pw = max(SRC_W, -(-src_w // 128) * 128)
+    if (ph, pw) != (src_h, src_w):
+        img2d = jnp.pad(img2d, ((0, ph - src_h), (0, pw - src_w)))
+    inv = np.asarray(invert_affine(jnp.asarray(a23_np, jnp.float32)))
+    starts, ny, nx = _tile_starts(inv, out_h, out_w, ph, pw)
+    params = jnp.asarray([inv[0, 0], inv[0, 1], inv[0, 2],
+                          inv[1, 0], inv[1, 1], inv[1, 2],
+                          float(src_h), float(src_w)], jnp.float32)
+    return _run(img2d.astype(jnp.float32), jnp.asarray(starts), params,
+                out_h, out_w, ny, nx)
+
+
 def warp_affine(img: jnp.ndarray, a23, out_h: int, out_w: int
                 ) -> jnp.ndarray:
     """Drop-in warp: Pallas fast path, XLA gather fallback.
@@ -196,20 +228,12 @@ def warp_affine(img: jnp.ndarray, a23, out_h: int, out_w: int
         a23_np = np.asarray(a23)
     except Exception:
         return warp_affine_xla(img, a23, out_h, out_w)
-    src_h, src_w = int(img.shape[0]), int(img.shape[1])
     on_tpu = jax.default_backend() == "tpu"
-    if not (on_tpu and pallas_warp_supported(a23_np, src_h, src_w)):
+    if not ((on_tpu or _INTERPRET) and pallas_warp_supported(a23_np)):
         return warp_affine_xla(img, jnp.asarray(a23_np), out_h, out_w)
 
-    inv = np.asarray(invert_affine(jnp.asarray(a23_np, jnp.float32)))
-    starts, ny, nx = _tile_starts(inv, out_h, out_w, src_h, src_w)
-    params = jnp.asarray([inv[0, 0], inv[0, 1], inv[0, 2],
-                          inv[1, 0], inv[1, 1], inv[1, 2],
-                          float(src_h), float(src_w)], jnp.float32)
-    starts = jnp.asarray(starts)
     if img.ndim == 2:
-        return _run(img.astype(jnp.float32), starts, params, out_h, out_w,
-                    ny, nx)
-    chans = [_run(img[..., c].astype(jnp.float32), starts, params, out_h,
-                  out_w, ny, nx) for c in range(img.shape[-1])]
+        return _run_padded(img, a23_np, out_h, out_w)
+    chans = [_run_padded(img[..., c], a23_np, out_h, out_w)
+             for c in range(img.shape[-1])]
     return jnp.stack(chans, axis=-1)

@@ -20,6 +20,19 @@ import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
+# Belt-and-braces: the env-var route above can be too late if a pytest
+# plugin (or the image profile) initialized JAX backends first — in round 1
+# that silently degraded the 8-device sharding tests to a 1-device mesh.
+# jax_num_cpu_devices + clear_backends forces the virtual mesh regardless.
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except RuntimeError:
+    import jax.extend
+    jax.extend.backend.clear_backends()
+    jax.config.update("jax_num_cpu_devices", 8)
+assert len(jax.devices("cpu")) == 8, (
+    f"virtual CPU mesh not active: {jax.devices('cpu')}")
+
 # persistent compilation cache: compiles dominate test wall-clock on CPU.
 # (separate dir from any axon/remote-compiled artifacts — mixed machine
 # features in one cache dir trigger AOT-mismatch warnings or SIGILL)

@@ -49,6 +49,25 @@ def test_rot_scale_within_bound():
                       np.float32), 6.0)
 
 
+def test_nonaligned_source_sizes_exact():
+    """Advisor repro: an identity warp of a 200x520 source must keep the
+    last src_w%128 columns and src_h%8 rows (round-1 kernel zeroed them)."""
+    rng = np.random.default_rng(2)
+    for (h, w) in [(200, 520), (137, 260), (50, 70)]:
+        img = jnp.asarray(rng.uniform(1, 255, (h, w)).astype(np.float32))
+        for a23 in (np.asarray([[1, 0, 0], [0, 1, 0]], np.float32),
+                    np.asarray([[1.01, 0.0, -7.5], [0.0, 0.99, 3.25]],
+                               np.float32)):
+            out = PW.warp_affine(img, a23, h, w)
+            ref = warp_xla(img, jnp.asarray(a23), h, w)
+            d = np.abs(np.asarray(out) - np.asarray(ref))
+            assert d.max() <= 4.0, ((h, w), a23.tolist(), d.max())
+            # identity specifically: exact, including the last column/row
+            if np.allclose(a23, np.asarray([[1, 0, 0], [0, 1, 0]])):
+                assert d.max() <= 1e-3, ((h, w), d.max())
+                assert np.asarray(out)[-1, -1] > 0
+
+
 def test_dispatcher_fallback_on_large_rotation():
     # 30-degree rotation exceeds _MAX_DEV -> must take the XLA path (on
     # CPU everything falls back, so just verify it matches XLA exactly)

@@ -8,7 +8,16 @@ import pytest
 
 
 def test_mesh_has_8_devices():
-    assert jax.device_count() == 8
+    # assert on the CPU platform explicitly: even if the image's remote-TPU
+    # platform leaks through JAX_PLATFORMS=cpu, the virtual host mesh must
+    # still expose 8 CPU devices (xla_force_host_platform_device_count).
+    assert len(jax.devices("cpu")) == 8
+
+
+def test_make_mesh_raises_on_insufficient_devices():
+    from drone_image_stitch_cpp_tpu.parallel.mesh import make_mesh
+    with pytest.raises(RuntimeError):
+        make_mesh(64, platform="cpu")
 
 
 def test_dryrun_multichip_8():
@@ -38,7 +47,7 @@ def test_sharded_matches_single_device():
     n_frames, h, w = 4, 96, 128
     outs = []
     for nd in (1, 4):
-        mesh = make_mesh(nd)
+        mesh = make_mesh(nd, platform="cpu")
         step = build_sortie_step(mesh, n_frames, h, w, max_kp=64,
                                  range_width=2, n_hyp=64,
                                  canvas_h=128, canvas_w=160)
