@@ -27,10 +27,14 @@ from .gaussian import (collapse_laplacian, gaussian_pyramid,
 
 
 def num_blend_bands(cfg_bands: int, canvas_h: int, canvas_w: int) -> int:
-    """Reference band formula (stitch_global.cpp:632-635)."""
+    """Reference band formula (stitch_global.cpp:632-635).
+
+    Only the canvas-derived auto term is capped at 12; a configured
+    blend_bands above 12 is honored, matching the reference.
+    """
     max_dim = max(canvas_h, canvas_w)
     auto = max(1, int(math.ceil(math.log2(max(max_dim, 2)))) - 1)
-    return min(max(max(5, cfg_bands), auto), 12)
+    return max(max(5, cfg_bands), min(auto, 12))
 
 
 def align_up(v: int, m: int) -> int:

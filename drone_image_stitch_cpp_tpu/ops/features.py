@@ -122,12 +122,18 @@ def build_scale_space(img: jnp.ndarray, n_layers: int, n_oct: int,
 # candidate extraction
 # --------------------------------------------------------------------------
 
-def _extrema_candidates(dog: jnp.ndarray, prelim_thresh: float, k: int):
+def _extrema_candidates(dog: jnp.ndarray, prelim_thresh: float, k: int,
+                        lim=None):
     """Top-k 3D extrema of a DoG stack (S, H, W) -> (idx (k,3), score, valid).
 
     A pixel is a candidate iff it equals the 3x3x3 neighborhood max (or min)
     and |value| exceeds the preliminary contrast threshold. Border layers /
     rows / cols are excluded so refinement gathers stay in-bounds.
+
+    ``lim``: optional (2,) float (h_lim, w_lim) in octave pixels — pixels at
+    or beyond it are excluded BEFORE the top-k, so padded image regions
+    cannot consume the keypoint budget (batched detection pads frames to a
+    shared bucket shape).
     """
     s, h, w = dog.shape
     mx = jax.lax.reduce_window(dog, -jnp.inf, jax.lax.max, (3, 3, 3),
@@ -141,6 +147,9 @@ def _extrema_candidates(dog: jnp.ndarray, prelim_thresh: float, k: int):
     xi = jax.lax.broadcasted_iota(jnp.int32, (s, h, w), 2)
     border = ((li >= 1) & (li <= s - 2) & (yi >= 1) & (yi <= h - 2)
               & (xi >= 1) & (xi <= w - 2))
+    if lim is not None:
+        border &= ((yi.astype(jnp.float32) < lim[0])
+                   & (xi.astype(jnp.float32) < lim[1]))
     score = jnp.where(is_ext & border, jnp.abs(dog), -1.0)
     flat = score.reshape(-1)
     k = min(k, flat.shape[0])  # tiny top octaves have fewer pixels than K
@@ -433,11 +442,15 @@ def detect_and_describe(img: jnp.ndarray, max_kp: int,
                         contrast_thresh: float = 0.04,
                         edge_thresh: float = 10.0,
                         n_layers: int = 3,
-                        upsample: bool = False) -> Features:
+                        upsample: bool = False,
+                        true_hw=None) -> Features:
     """Detect up to ``max_kp`` keypoints and compute descriptors.
 
     ``img``: (H, W) float32 grayscale in [0, 255]. Returns Features with
-    static shapes (max_kp rows; invalid rows masked).
+    static shapes (max_kp rows; invalid rows masked). ``true_hw``: optional
+    (2,) int/float array with the true (h, w) when ``img`` carries padding
+    to a bucket shape — candidates in the pad region are excluded before
+    any budget selection.
     """
     h, w = img.shape
     n_oct = num_octaves(h, w, upsample)
@@ -454,7 +467,10 @@ def detect_and_describe(img: jnp.ndarray, max_kp: int,
         # higher octaves hold quadratically fewer pixels -> smaller budget
         # (shrinks both the compiled graph and the per-call gather volume)
         k_oct = max(max_kp >> o, min(128, max_kp))
-        cand, _, cvalid = _extrema_candidates(dog, prelim, k_oct)
+        mult_o = scale0 * (2.0 ** o)
+        lim = (jnp.asarray(true_hw, jnp.float32) / mult_o
+               if true_hw is not None else None)
+        cand, _, cvalid = _extrema_candidates(dog, prelim, k_oct, lim)
         lf, yf, xf, resp, ok = jax.vmap(
             lambda c: _refine_one(dog, c, n_layers, contrast_abs,
                                   edge_thresh))(cand)

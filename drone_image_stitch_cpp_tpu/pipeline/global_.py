@@ -63,7 +63,7 @@ _MAX_ALIGN_DIM = 2800       # reference :119
 _ROI_MIN_WIDTH = 120        # reference :226-259
 _SEAM_CANVAS_MP = 8.0       # reference :585
 _GAIN_CLAMP = (0.8, 1.25)   # reference :497-549
-_GAIN_MIN_OVERLAP = 400     # inheritance threshold (overlap too small)
+_GAIN_MIN_OVERLAP = 1000    # full-res valid-px inheritance threshold (:529)
 _SOFT_MASK_SIGMA = 10.0     # reference :345
 
 
@@ -224,14 +224,23 @@ def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
 
 
 def _gain_chain(seam_imgs: List[jnp.ndarray], seam_masks: List[jnp.ndarray],
-                n: int) -> np.ndarray:
-    """Cumulative clamped mean-ratio gains + geo-mean norm (:497-573)."""
+                n: int, seam_scale: float = 1.0) -> np.ndarray:
+    """Cumulative clamped mean-ratio gains + geo-mean norm (:497-573).
+
+    Matches the reference exactly: the *pairwise* ratio of raw overlap
+    means is clamped to [0.8, 1.25] (only when both channel means exceed
+    the 5.0 dark-overlap guard), the cumulative product is left unclamped,
+    inheritance triggers below 1000 valid overlap pixels (full-res count —
+    our masks live at seam scale, so the count is rescaled), and the
+    geo-mean normalization divides only when the mean exceeds 0.01.
+    """
     log = get_logger()
     gains = np.ones((n, 3), np.float32)
+    inv_area = 1.0 / max(seam_scale * seam_scale, 1e-12)
     for i in range(1, n):
         overlap = seam_masks[i] & seam_masks[i - 1]
         cnt = int(jnp.sum(overlap))
-        if cnt < _GAIN_MIN_OVERLAP:
+        if cnt * inv_area < _GAIN_MIN_OVERLAP:
             gains[i] = gains[i - 1]  # inheritance (:507-529)
             log.log("GlobalCustom", f"gain inherit strip {i}", overlap=cnt)
             continue
@@ -240,14 +249,17 @@ def _gain_chain(seam_imgs: List[jnp.ndarray], seam_masks: List[jnp.ndarray],
             jnp.where(of, seam_imgs[i - 1], 0.0), axis=(0, 1))) / cnt
         cur_mean = np.asarray(jnp.sum(
             jnp.where(of, seam_imgs[i], 0.0), axis=(0, 1))) / cnt
-        ratio = (ref_mean * gains[i - 1]) / np.maximum(cur_mean, 1e-3)
-        ratio = np.clip(ratio, *_GAIN_CLAMP)
-        gains[i] = ratio
+        pw = np.ones(3, np.float32)
+        bright = (ref_mean > 5.0) & (cur_mean > 5.0)  # dark guard (:538)
+        pw[bright] = np.clip(ref_mean[bright] / cur_mean[bright],
+                             *_GAIN_CLAMP)
+        gains[i] = gains[i - 1] * pw
         log.log("GlobalCustom", f"gain strip {i}",
-                gains=np.round(ratio, 3).tolist(), overlap=cnt)
-    # geometric-mean normalization (:551-556)
+                pw=np.round(pw, 3).tolist(),
+                cum=np.round(gains[i], 3).tolist(), overlap=cnt)
+    # geometric-mean normalization (:551-560)
     geo = np.exp(np.log(np.maximum(gains, 1e-6)).mean(axis=0))
-    gains = gains / geo
+    gains = gains / np.where(geo > 0.01, geo, 1.0)
     return gains
 
 
@@ -301,9 +313,11 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
             footprint_thresh=0.999))
 
     # ---- radiometric pre-equalization (:497-573) -------------------------
-    gains = _gain_chain(seam_imgs, seam_masks, n)
+    gains = _gain_chain(seam_imgs, seam_masks, n, seam_scale)
 
     # ---- canvas-size-adaptive exposure compensation (:307-326) -----------
+    # ChannelsCompensator(2) up to 120 MP, scalar GainCompensator(1) for
+    # ANY larger canvas (the reference returns NO only for negative area).
     canvas_mp = canvas_h * canvas_w / 1e6
     comp_gains = np.ones((n, 3), np.float32)
     if canvas_mp <= 120.0:
@@ -314,15 +328,13 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         comp_gains = np.asarray(comp)
         log.log("GlobalCustom", "exposure", kind="channels",
                 gains=np.round(comp_gains, 3).tolist())
-    elif canvas_mp <= 400.0:
+    else:
         comp = E.gain_compensate_scalar(
             jnp.stack([(im * jnp.asarray(g)).mean(axis=-1)
                        for im, g in zip(seam_imgs, gains)]),
             jnp.stack(seam_masks), similarity_thresh=0.95)
         comp_gains = np.repeat(np.asarray(comp)[:, None], 3, axis=1)
         log.log("GlobalCustom", "exposure", kind="gain")
-    else:
-        log.log("GlobalCustom", "exposure", kind="none")
 
     total_gains = gains * comp_gains
 

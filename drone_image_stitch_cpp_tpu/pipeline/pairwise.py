@@ -51,10 +51,13 @@ class PairDiagnostics:
 def compute_pair_diagnostics(img_a: np.ndarray, img_b: np.ndarray,
                              tuning: StitchTuning,
                              seed: int = 0):
-    """Pair health check; returns (diagnostics, model 3x3 or None, scale).
+    """Pair health check; returns (diag, model 3x3 or None, res, feats,
+    scale).
 
     Mirrors computePairDiagnostics (stitch_robust.cpp:76-142): features,
-    knn2 with fixed 0.75 ratio, RANSAC homography at 3 px.
+    knn2 with fixed 0.75 ratio, RANSAC homography at 3 px. The features
+    and work scale are returned so callers can refit other model classes
+    without re-running detection (the dominant cost of a 2-frame job).
     """
     feats, scale = detect_features([img_a, img_b], tuning.sift_features,
                                    tuning.registration_resol_mpx)
@@ -67,7 +70,7 @@ def compute_pair_diagnostics(img_a: np.ndarray, img_b: np.ndarray,
         kp_a=int(feats.valid[0].sum()), kp_b=int(feats.valid[1].sum()),
         good_matches=int(m.good.sum()), inliers=int(res.n_inliers))
     model = np.asarray(res.model) if bool(res.ok) else None
-    return diag, model, res
+    return diag, model, res, feats, scale
 
 
 def pair_gates_pass(diag: PairDiagnostics, tuning: StitchTuning) -> bool:
@@ -87,7 +90,8 @@ def stitch_pair(img_a: np.ndarray, img_b: np.ndarray,
     """
     log = get_logger()
     tuning = tuning or StitchTuning()
-    diag, _, res = compute_pair_diagnostics(img_a, img_b, tuning, seed)
+    diag, _, res, feats, scale = compute_pair_diagnostics(
+        img_a, img_b, tuning, seed)
     log.log("Pair", "diagnostics", kp_a=diag.kp_a, kp_b=diag.kp_b,
             good=diag.good_matches, inliers=diag.inliers)
     if not pair_gates_pass(diag, tuning):
@@ -97,9 +101,8 @@ def stitch_pair(img_a: np.ndarray, img_b: np.ndarray,
             f"{tuning.min_inliers})")
 
     if model_kind != "homography":
-        # re-fit the chosen model class on the matched points
-        feats, scale = detect_features([img_a, img_b], tuning.sift_features,
-                                       tuning.registration_resol_mpx)
+        # re-fit the chosen model class on the SAME features (one detect
+        # per pair; detection dominates the 2-frame config's cost)
         m = M.knn2_ratio(feats.desc[0], feats.valid[0], feats.desc[1],
                          feats.valid[1], _LOWE_RATIO)
         src, dst, good = M.gather_correspondences(feats.xy[0], feats.xy[1],

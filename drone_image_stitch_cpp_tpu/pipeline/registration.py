@@ -39,8 +39,11 @@ def bucket_shape(h: int, w: int) -> tuple[int, int]:
 @functools.partial(jax.jit, static_argnames=("max_kp", "out_h", "out_w"))
 def _detect_batch(grays: jnp.ndarray, true_hw: jnp.ndarray, max_kp: int,
                   out_h: int, out_w: int) -> F.Features:
-    """vmapped detect over (B, H, W) padded grays; mask pad keypoints."""
-    feats = jax.vmap(lambda g: F.detect_and_describe(g, max_kp))(grays)
+    """vmapped detect over (B, H, W) padded grays; pad regions are excluded
+    from the per-frame keypoint budget via true_hw."""
+    feats = jax.vmap(
+        lambda g, hw: F.detect_and_describe(g, max_kp, true_hw=hw))(
+        grays, true_hw)
     ok = (feats.valid
           & (feats.xy[..., 0] < true_hw[:, None, 1].astype(jnp.float32))
           & (feats.xy[..., 1] < true_hw[:, None, 0].astype(jnp.float32)))
@@ -49,19 +52,30 @@ def _detect_batch(grays: jnp.ndarray, true_hw: jnp.ndarray, max_kp: int,
 
 def detect_features(images: List[np.ndarray], n_features: int,
                     resol_mpx: float) -> tuple[F.Features, float]:
-    """Batched feature extraction for same-sized frames.
+    """Batched feature extraction; frames may differ in size.
 
-    Returns (Features with leading batch axis, work_scale). Keypoint
-    coordinates are in *full-resolution* pixels.
+    The work scale comes from the first image (cv::Stitcher computes
+    work_scale from the first frame and applies it to all); every frame is
+    scaled by it and padded to one common bucket so the batch stays a
+    single static-shape program (mixed sizes arise on the sequential
+    fallback path, where a growing mosaic registers against the next
+    frame). Returns (Features with leading batch axis, work_scale).
+    Keypoint coordinates are in each frame's *full-resolution* pixels.
     """
-    h, w = images[0].shape[:2]
-    scale = scale_for_megapixels(h, w, resol_mpx)
-    wh = max(1, int(round(h * scale)))
-    ww = max(1, int(round(w * scale)))
-    bh, bw = bucket_shape(wh, ww)
+    h0, w0 = images[0].shape[:2]
+    scale = scale_for_megapixels(h0, w0, resol_mpx)
+
+    work_hw = []
+    for img in images:
+        h, w = img.shape[:2]
+        work_hw.append((max(1, int(round(h * scale))),
+                        max(1, int(round(w * scale)))))
+    bh, bw = bucket_shape(max(hw[0] for hw in work_hw),
+                          max(hw[1] for hw in work_hw))
 
     grays = []
-    for img in images:
+    for img, (wh, ww) in zip(images, work_hw):
+        h, w = img.shape[:2]
         g = bgr_to_gray(jnp.asarray(img.astype(np.float32)))
         if (wh, ww) != (h, w):
             g = resize_area(g, wh, ww)
@@ -69,15 +83,17 @@ def detect_features(images: List[np.ndarray], n_features: int,
         g = jnp.pad(g, ((0, bh - wh), (0, bw - ww)), mode="edge")
         grays.append(g)
     batch = jnp.stack(grays)
-    true_hw = jnp.asarray([[wh, ww]] * len(images), jnp.int32)
+    true_hw = jnp.asarray(work_hw, jnp.int32)
     feats = _detect_batch(batch, true_hw, n_features, bh, bw)
     # back to full-res coordinates with EXACT per-axis scales (the rounded
     # work size makes the effective scale differ from the nominal one by
     # ~1e-3 — a pixel of systematic drift across a frame if ignored); the
     # +-0.5 terms are the pixel-center shift of area resampling
-    sx = ww / float(w)
-    sy = wh / float(h)
-    xy = jnp.stack([(feats.xy[..., 0] + 0.5) / sx - 0.5,
-                    (feats.xy[..., 1] + 0.5) / sy - 0.5], axis=-1)
+    sx = jnp.asarray([ww / float(img.shape[1])
+                      for img, (wh, ww) in zip(images, work_hw)])
+    sy = jnp.asarray([wh / float(img.shape[0])
+                      for img, (wh, ww) in zip(images, work_hw)])
+    xy = jnp.stack([(feats.xy[..., 0] + 0.5) / sx[:, None] - 0.5,
+                    (feats.xy[..., 1] + 0.5) / sy[:, None] - 0.5], axis=-1)
     feats = feats._replace(xy=xy, sigma=feats.sigma / scale)
     return feats, scale

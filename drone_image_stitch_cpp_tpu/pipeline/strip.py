@@ -31,7 +31,7 @@ from ..ops import seam as S
 from ..ops.color import apply_channel_gains, nonblack_mask
 from ..ops.resize import resize_area, resize_linear, scale_for_megapixels
 from ..ops.transform import compose_affine, h3_to_affine, transformed_bbox
-from ..ops.warp import warp_affine, warp_content_mask
+from ..ops.warp import warp_affine, warp_perspective
 from ..ops.pallas_warp import warp_affine as fast_warp
 from ..runtime.logging import get_logger
 from .bundle import bundle_adjust_similarity_jit, params_from_affine
@@ -84,6 +84,29 @@ def estimate_strip_transforms(images: List[np.ndarray],
     log.log(stage, "pair graph", pairs=len(pairs), kept=int(keep.sum()),
             mean_conf=float(conf[ok].mean()) if ok.any() else 0.0)
 
+    if n == 2:
+        # 2-image pair-diagnostics gate (stitchWithMode,
+        # stitch_robust.cpp:233-243): every 2-image job must pass the
+        # min_good_matches / min_inliers health gates, with a full
+        # diagnostics dump on failure (logPairDiagnostics :144-172).
+        ng = int(np.asarray(graph.n_good)[0])
+        ni = int(np.asarray(graph.n_inliers)[0])
+        okp = bool(ok[0])
+        if (not okp) or ng < tuning.min_good_matches \
+                or ni < tuning.min_inliers:
+            kp_l = int(np.asarray(feats.valid[0]).sum())
+            kp_r = int(np.asarray(feats.valid[1]).sum())
+            log.log(stage, "failure diagnostics", idx=1,
+                    left=f"{images[0].shape}", right=f"{images[1].shape}",
+                    kp_left=kp_l, kp_right=kp_r,
+                    good_matches=f"{ng}(min={tuning.min_good_matches})",
+                    model=("failed" if not okp else
+                           f"inliers/good_matches={ni}/{ng}"
+                           f"(min={tuning.min_inliers})"))
+            raise StripStitchError(
+                f"{stage}: pair gates failed (good={ng} inliers={ni}, "
+                f"need {tuning.min_good_matches}/{tuning.min_inliers})")
+
     comp = biggest_component(n, graph.pairs, keep)
     if len(comp) < 2:
         raise StripStitchError(
@@ -122,13 +145,42 @@ def _axes_from_transforms(transforms: np.ndarray) -> List[str]:
 
 def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
                   tuning: StitchTuning, stage: str = "Strip") -> np.ndarray:
-    """Warp + seam + gain + multiband blend at full resolution.
+    """Warp + seam + gain + multiband blend at compositing resolution.
 
     ``transforms``: (N, 2, 3) frame->reference affines (full-res units).
+    ``compositing_resol_mpx`` > 0 composes at the configured megapixel
+    budget (setCompositingResol analog, stitch_robust.cpp:185); -1 keeps
+    full resolution. ``use_affine_warper=False`` routes every compose warp
+    through the perspective (plane-warper family) kernel instead of the
+    affine fast path (stitch_robust.cpp:203-205).
     """
     log = get_logger()
     n = len(images)
     h, w = images[0].shape[:2]
+
+    cs = scale_for_megapixels(h, w, tuning.compositing_resol_mpx)
+    if cs < 1.0:
+        log.log(stage, "compositing scale", scale=round(cs, 4))
+        images = [np.asarray(resize_area(
+            jnp.asarray(im.astype(np.float32)),
+            max(1, int(round(im.shape[0] * cs))),
+            max(1, int(round(im.shape[1] * cs))))) for im in images]
+        transforms = np.stack([
+            _scale_transform(np.vstack([t, [0.0, 0.0, 1.0]]).astype(
+                np.float32), cs)[:2] for t in np.asarray(transforms)])
+        h, w = images[0].shape[:2]
+
+    persp = not tuning.use_affine_warper
+
+    def _warp(img, t23, oh, ow, fast=False):
+        """Warper-family dispatch: affine fast path or perspective kernel."""
+        t23 = np.asarray(t23, np.float32)
+        if persp:
+            h33 = jnp.asarray(np.vstack([t23, [0.0, 0.0, 1.0]]))
+            return warp_perspective(img, h33, oh, ow)
+        if fast:
+            return fast_warp(img, t23, oh, ow)
+        return warp_affine(img, jnp.asarray(t23), oh, ow)
 
     # canvas bbox over all transformed corners
     boxes = [np.asarray(transformed_bbox(jnp.asarray(t), im.shape[0],
@@ -159,10 +211,9 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     for i in range(n):
         ts = (ssc @ t_canvas[i]).astype(np.float32)
         img32 = jnp.asarray(images[i].astype(np.float32))
-        simg = warp_affine(img32, jnp.asarray(ts), sh, sw)
-        smask = warp_content_mask(
-            nonblack_mask(img32, -1.0), jnp.asarray(ts), sh, sw,
-            footprint_thresh=0.5)
+        simg = _warp(img32, ts, sh, sw)
+        smask = _warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
+                      ts, sh, sw) >= 0.5
         seam_imgs.append(simg)
         seam_masks.append(smask)
 
@@ -206,7 +257,7 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         t_full = np.asarray(compose_affine(jnp.asarray(t_roi),
                                            jnp.asarray(t_canvas[i])))
         img32 = jnp.asarray(images[i].astype(np.float32))
-        wimg = fast_warp(img32, t_full, rh_b, rw_b)
+        wimg = _warp(img32, t_full, rh_b, rw_b, fast=True)
         if gain_maps is not None:
             # warp (gain - 1) so the constant border resolves to gain 1
             groi = 1.0 + _upsample_mask_roi(gain_maps[i] - 1.0, tlx, tly,
@@ -215,8 +266,8 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         # seam mask upsampled from seam scale into the ROI
         smask_roi = _upsample_mask_roi(seam_masks[i], tlx, tly, rh_b, rw_b,
                                        seam_scale)
-        cmask = fast_warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
-                          t_full, rh_b, rw_b) >= 0.5
+        cmask = _warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
+                      t_full, rh_b, rw_b, fast=True) >= 0.5
         weight = smask_roi * cmask.astype(jnp.float32)
         canvas = feed(canvas, wimg, weight, tlx, tly, cmask)
 
@@ -275,8 +326,10 @@ def stitch_strip(images: List[np.ndarray],
         log.log(stage, "joint stitch failed", error=str(err))
         if matching_mask is not None:
             raise  # reference: no fallback when a mask was supplied
-        if not tuning.use_anchor_fallback:
-            raise
+        # the sequential fallback is UNCONDITIONAL on joint failure
+        # (stitch_robust.cpp:366-375); use_anchor_fallback only gates the
+        # anchor-batch attempt inside it (:297)
+    log.log(stage, "falling back to sequential stitch")
     return _stitch_sequential(images, tuning, stage, seed)
 
 
@@ -301,7 +354,7 @@ def _stitch_sequential(images: List[np.ndarray], tuning: StitchTuning,
                 ([batch] if batch else []) + [[current, images[i]]]):
             try:
                 kept, transforms, _ = estimate_strip_transforms(
-                    imgs, tuning, range_width_override=len(imgs),
+                    imgs, tuning, range_width=len(imgs),
                     stage=f"{stage}/seq{i}", seed=seed + i)
                 current = compose_strip([imgs[k] for k in kept], transforms,
                                         tuning, f"{stage}/seq{i}")

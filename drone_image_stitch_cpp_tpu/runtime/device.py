@@ -27,27 +27,35 @@ def describe_devices() -> List[str]:
 def select_backend(use_accelerator: bool) -> str:
     """Pick the JAX backend honoring the tuning toggles.
 
-    Returns the backend name actually in use. Must be called before any
-    device computation if it needs to force CPU.
+    Returns the backend actually in use (verified via jax.default_backend,
+    not assumed). Must be called before any device computation: once XLA
+    backends initialize, the platform cannot be switched, in which case the
+    mismatch is logged instead of silently ignored.
     """
+    import os
     import jax
 
     log = get_logger()
     if not use_accelerator:
+        os.environ["JAX_PLATFORMS"] = "cpu"  # covers child processes
         try:
             jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
-        log.log("Device", "accelerator disabled by tuning; using cpu")
-        return "cpu"
+        except Exception as e:  # backends already initialized
+            log.log("Device", "cpu force too late", error=str(e))
+        backend = jax.default_backend()
+        if backend != "cpu":
+            log.log("Device",
+                    "WARNING: accelerator disabled by tuning but backend "
+                    "already initialized", backend=backend)
+        else:
+            log.log("Device", "accelerator disabled by tuning; using cpu")
+        return backend
     try:
         backend = jax.default_backend()
     except Exception as e:
         log.log("Device", "accelerator init failed; falling back to cpu",
                 error=str(e))
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
-        backend = "cpu"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
     return backend

@@ -40,7 +40,9 @@ unsigned char* tm_decode_jpeg(const char* path, int* out_w, int* out_h) {
   tm_error_mgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = tm_error_exit;
-  unsigned char* buf = nullptr;
+  // volatile: modified after setjmp and read in the longjmp handler — a
+  // plain local's value would be indeterminate there (C99 7.13.2.1).
+  unsigned char* volatile buf = nullptr;
 
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);

@@ -20,16 +20,20 @@ import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
-# Belt-and-braces: the env-var route above can be too late if a pytest
-# plugin (or the image profile) initialized JAX backends first — in round 1
-# that silently degraded the 8-device sharding tests to a 1-device mesh.
-# jax_num_cpu_devices + clear_backends forces the virtual mesh regardless.
+# The JAX_PLATFORMS env var is IGNORED in this image (the axon PJRT plugin
+# registers regardless; round 1's tests silently ran on the remote TPU).
+# Only jax.config.update("jax_platforms") before backend init truly forces
+# CPU; clear_backends covers the already-initialized case.
 try:
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 except RuntimeError:
     import jax.extend
     jax.extend.backend.clear_backends()
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}")
 assert len(jax.devices("cpu")) == 8, (
     f"virtual CPU mesh not active: {jax.devices('cpu')}")
 
