@@ -119,7 +119,11 @@ def _kernel(starts_ref, params_ref, src_hbm, out_ref, src_vmem, sem):
             - 63.5
         base_h = jnp.clip(jnp.floor(mid).astype(jnp.int32) - NH // 2 + 1,
                           -SRC_W, SRC_W)
-        rolled = pltpu.roll(tmp, shift=-base_h, axis=1)
+        # pltpu.roll silently mis-rotates for dynamic NEGATIVE shifts on
+        # TPU (verified on v5e: shift=-13 returns wrong lanes; positive
+        # shifts are exact) — wrap into [0, SRC_W) first; roll is cyclic
+        # with period SRC_W so the result is unchanged.
+        rolled = pltpu.roll(tmp, shift=jnp.mod(-base_h, SRC_W), axis=1)
         acc = jnp.zeros((ROWS, TILE), jnp.float32)
         for k in range(NH):
             seg = rolled[:, k:k + TILE]
