@@ -34,8 +34,7 @@ def log(*a):
 
 def make_frames():
     """Overlapping 4K crops of one big textured synthetic ortho."""
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from conftest import synthetic_ortho
+    from drone_image_stitch_cpp_tpu.utils.synthetic import synthetic_ortho
     big = synthetic_ortho(h=FRAME_H + 64 * N_FRAMES,
                           w=FRAME_W + 256 * N_FRAMES, seed=3)
     gray = (0.114 * big[..., 0] + 0.587 * big[..., 1]
@@ -49,10 +48,10 @@ def bench_tpu(frames):
     import jax.numpy as jnp
     from drone_image_stitch_cpp_tpu.ops.resize import (
         resize_area, scale_for_megapixels)
-    from drone_image_stitch_cpp_tpu.ops.features import detect_and_describe
+    from drone_image_stitch_cpp_tpu.ops.features import (
+        detect_and_describe_batched)
     from drone_image_stitch_cpp_tpu.ops import match as M
     from drone_image_stitch_cpp_tpu.ops import ransac as R
-    from drone_image_stitch_cpp_tpu.ops.pallas_warp import warp_affine
 
     log(f"jax backend: {jax.default_backend()} devices: {jax.devices()}")
     scale = scale_for_megapixels(FRAME_H, FRAME_W, REG_MPX)
@@ -64,17 +63,15 @@ def bench_tpu(frames):
 
     frames_dev = jnp.asarray(np.stack(frames))
 
-    @jax.jit
-    def prep(f):
+    def _prep(f):
         small = jax.vmap(lambda x: resize_area(x, wh, ww))(f)
         return jnp.pad(small, ((0, 0), (0, bh - wh), (0, bw - ww)),
                        mode="edge")
 
-    @jax.jit
-    def register(small):
-        feats = jax.vmap(
-            lambda g: detect_and_describe(g, SIFT_FEATURES))(small)
+    def _detect(small):
+        return detect_and_describe_batched(small, SIFT_FEATURES)
 
+    def _match_ransac(feats):
         def one(i):
             m = M.knn2_ratio(feats.desc[i], feats.valid[i],
                              feats.desc[i + 1], feats.valid[i + 1], RATIO)
@@ -92,31 +89,76 @@ def bench_tpu(frames):
             ninls.append(ni)
         return jnp.stack(models), jnp.stack(ninls)
 
-    def warp_all(f, models_np):
-        outs = []
+    # ONE fused program for the WHOLE batch: prep -> detect -> match ->
+    # RANSAC -> all N-1 warps (traced transforms; planning on device).
+    # Per-dispatch overhead on the remote-TPU relay is ~80 ms and large
+    # multi-array jit outputs cost ~100x, so everything fuses and only
+    # (models, inliers, per-frame warp sums) come back.
+    from drone_image_stitch_cpp_tpu.ops import pallas_warp as PW
+
+    def _full(f):
+        feats = _detect(_prep(f))
+        models, ninl = _match_ransac(feats)
+        sums = []
         for i in range(N_FRAMES - 1):
-            outs.append(warp_affine(f[i + 1], models_np[i][:2, :],
-                                    FRAME_H, FRAME_W))
-        return outs
+            wrp = PW.warp_affine_traced(f[i + 1], models[i][:2, :],
+                                        FRAME_H, FRAME_W)
+            sums.append(wrp.sum())
+        return models, ninl, jnp.stack(sums)
+
+    full = jax.jit(_full)
+    register = jax.jit(lambda f: _match_ransac(_detect(_prep(f))))
+    probe_prep = jax.jit(lambda f: _prep(f).sum())
+    probe_detect = jax.jit(lambda f: _detect(_prep(f)).desc.sum())
+
+    def run_once():
+        models, ninl, wsums = full(frames_dev)
+        models_np = np.asarray(models)  # one blocking fetch
+        return models_np, ninl
 
     # warmup / compile
-    small = prep(frames_dev)
-    models, ninl = register(small)
-    models_np = np.asarray(models)
-    warped = warp_all(frames_dev, models_np)
-    float(np.asarray(warped[-1][0, 0]))  # force through the relay
+    models_np, ninl = run_once()
     log(f"warmup inliers: {np.asarray(ninl).tolist()}")
 
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        small = prep(frames_dev)
-        models, ninl = register(small)
-        warped = warp_all(frames_dev, np.asarray(models))
-        float(np.asarray(warped[-1][0, 0]))
-    dt = (time.perf_counter() - t0) / reps
-    fps = N_FRAMES / dt
-    log(f"tpu: {dt*1000:.1f} ms/batch -> {fps:.2f} frames/s")
+    def timeit(fn, reps=3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        return (time.perf_counter() - t0) / reps
+
+    # warm every probe BEFORE timing (first call = compile)
+    float(np.asarray(probe_prep(frames_dev)))
+    float(np.asarray(probe_detect(frames_dev)))
+    np.asarray(register(frames_dev)[0])
+
+    t_prep = timeit(lambda: float(np.asarray(probe_prep(frames_dev))))
+    t_detect = timeit(lambda: float(np.asarray(probe_detect(frames_dev))))
+    t_reg = timeit(lambda: np.asarray(register(frames_dev)[0]))
+    t_total = timeit(run_once)
+    t_warp = t_total - t_reg
+    log(f"stage device+relay times per 8-frame batch: "
+        f"prep {t_prep*1e3:.1f} ms | detect(+prep) {t_detect*1e3:.1f} ms | "
+        f"register(prep+detect+match+ransac) {t_reg*1e3:.1f} ms | "
+        f"warp x{N_FRAMES-1} {t_warp*1e3:.1f} ms | total {t_total*1e3:.1f} ms")
+
+    # rough MFU: useful FLOPs of the pipeline's dense stages (blur matmul
+    # band taps, matcher distance matmuls, warp FMAs; gathers/reductions
+    # excluded) vs v5e peak 197 TFLOP/s bf16 / ~99 TFLOP/s fp32
+    k = SIFT_FEATURES
+    flops_match = (N_FRAMES - 1) * 2.0 * k * k * 128
+    taps = 13
+    flops_blur = N_FRAMES * sum(
+        2 * 2 * taps * (bh >> o) * (bw >> o) * 6 for o in range(4))
+    flops_warp = (N_FRAMES - 1) * 2.0 * FRAME_H * FRAME_W * 8
+    flops_desc = N_FRAMES * 4125 * (96 * 128) * 60
+    total_flops = flops_match + flops_blur + flops_warp + flops_desc
+    mfu = total_flops / t_total / 99e12
+    log(f"useful-FLOP estimate {total_flops/1e9:.1f} GFLOP -> "
+        f"MFU ~{mfu*100:.2f}% of fp32 peak (pipeline is gather/"
+        f"bandwidth-bound by nature, not matmul-bound)")
+
+    fps = N_FRAMES / t_total
+    log(f"tpu: {t_total*1000:.1f} ms/batch -> {fps:.2f} frames/s")
     return fps
 
 

@@ -54,13 +54,59 @@ def _conv1d_along(img: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray
     return jnp.moveaxis(y, -1, axis)
 
 
+@functools.lru_cache(maxsize=256)
+def _blur_matrix(sigma: float, n: int, radius: int | None) -> np.ndarray:
+    """(n, n) banded Toeplitz blur matrix with REFLECT_101 edges folded in.
+
+    y = T @ x equals the 1-D Gaussian conv with OpenCV border handling.
+    """
+    k = gaussian_kernel1d(sigma, radius)
+    r = k.shape[0] // 2
+    t = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for dj, w in zip(range(-r, r + 1), k):
+            j = i + dj
+            if j < 0:
+                j = -j              # reflect-101: -1 -> 1
+            elif j >= n:
+                j = 2 * n - 2 - j   # n -> n-2
+            j = min(max(j, 0), n - 1)
+            t[i, j] += w
+    return t
+
+
+_BLUR_MATMUL_MAX = 2048  # above this the (n, n) band matrix wastes HBM
+
+
 def gaussian_blur(img: jnp.ndarray, sigma: float,
                   radius: int | None = None) -> jnp.ndarray:
-    """Separable Gaussian blur over the trailing (H, W[, C]) dims."""
-    taps = jnp.asarray(gaussian_kernel1d(sigma, radius))
+    """Separable Gaussian blur over the trailing (H, W[, C]) dims.
+
+    TPU note: for scale-space-sized images both 1-D passes run as banded
+    Toeplitz MATMULS (rows @ T_w^T, T_h @ cols) — single-channel
+    conv_general_dilated lowers to near-scalar code on TPU, while the
+    matmul keeps the MXU busy (the band wastes FLOPs, but MXU FLOPs are
+    free next to a bad conv). Larger images (sigma=10 soft masks over
+    mosaic canvases) keep the conv path.
+    """
     hax = img.ndim - 2 if img.ndim == 2 else img.ndim - 3
     wax = hax + 1
+    h, w = img.shape[hax], img.shape[wax]
     x = img.astype(jnp.float32)
+    if max(h, w) <= _BLUR_MATMUL_MAX:
+        th = jnp.asarray(_blur_matrix(float(sigma), h, radius))
+        tw = jnp.asarray(_blur_matrix(float(sigma), w, radius))
+        # x is (..., H, W) or (..., H, W, C): contract H with th, W with tw
+        # HIGHEST precision: default MXU bf16 rounding (~0.4%) swamps the
+        # DoG contrast thresholds (~0.2% of range) downstream
+        hp = jax.lax.Precision.HIGHEST
+        x = jnp.tensordot(x, th, axes=([hax], [1]),
+                          precision=hp)                  # H moves to last
+        x = jnp.moveaxis(x, -1, hax)
+        x = jnp.tensordot(x, tw, axes=([wax], [1]), precision=hp)
+        x = jnp.moveaxis(x, -1, wax)
+        return x
+    taps = jnp.asarray(gaussian_kernel1d(sigma, radius))
     x = _conv1d_along(x, taps, axis=hax)
     x = _conv1d_along(x, taps, axis=wax)
     return x

@@ -142,25 +142,56 @@ def _kernel(starts_ref, params_ref, src_hbm, out_ref, src_vmem, sem):
 
 def _tile_starts(inv: np.ndarray, out_h: int, out_w: int, src_h: int,
                  src_w: int):
-    """Per-tile clamped source-block starts (host, numpy)."""
+    """Per-tile clamped source-block starts (host, vectorized numpy)."""
     ny = -(-out_h // TILE)
     nx = -(-out_w // TILE)
-    starts = np.zeros((ny * nx, 4), np.int32)
+    oy = (np.arange(ny) * TILE)[:, None]                 # (ny, 1)
+    ox = (np.arange(nx) * TILE)[None, :]                 # (1, nx)
     corners = np.asarray([[0.0, 0.0], [TILE - 1.0, 0.0], [0.0, TILE - 1.0],
                           [TILE - 1.0, TILE - 1.0]])
-    for ty in range(ny):
-        for tx in range(nx):
-            oy, ox = ty * TILE, tx * TILE
-            pts = corners + np.asarray([[ox, oy]])
-            sx = inv[0, 0] * pts[:, 0] + inv[0, 1] * pts[:, 1] + inv[0, 2]
-            sy = inv[1, 0] * pts[:, 0] + inv[1, 1] * pts[:, 1] + inv[1, 2]
-            # HBM DMA starts must be tile-aligned: rows 8, cols 128
-            sy0 = (int(np.floor(sy.min())) - 8) & ~7
-            sx0 = (int(np.floor(sx.min())) - 8) & ~127
-            sy0 = max(0, min(sy0, (src_h - SRC_H) & ~7))
-            sx0 = max(0, min(sx0, (src_w - SRC_W) & ~127))
-            starts[ty * nx + tx] = (sy0, sx0, oy, ox)
+    sx = np.stack([inv[0, 0] * (ox + cx) + inv[0, 1] * (oy + cy)
+                   + inv[0, 2] for cx, cy in corners]).min(axis=0)
+    sy = np.stack([inv[1, 0] * (ox + cx) + inv[1, 1] * (oy + cy)
+                   + inv[1, 2] for cx, cy in corners]).min(axis=0)
+    # HBM DMA starts must be tile-aligned: rows 8, cols 128
+    sy0 = (np.floor(sy).astype(np.int64) - 8) & ~7
+    sx0 = (np.floor(sx).astype(np.int64) - 8) & ~127
+    sy0 = np.clip(sy0, 0, (src_h - SRC_H) & ~7)
+    sx0 = np.clip(sx0, 0, (src_w - SRC_W) & ~127)
+    starts = np.stack(
+        [np.broadcast_to(sy0, (ny, nx)), np.broadcast_to(sx0, (ny, nx)),
+         np.broadcast_to(oy, (ny, nx)), np.broadcast_to(ox, (ny, nx))],
+        axis=-1).reshape(ny * nx, 4).astype(np.int32)
     return starts, ny, nx
+
+
+def tile_starts_traced(inv: jnp.ndarray, out_h: int, out_w: int,
+                       src_h: int, src_w: int) -> jnp.ndarray:
+    """Device-side twin of ``_tile_starts`` for traced transforms.
+
+    Lets a caller fuse warp planning + the Pallas kernel into one program
+    (no host round-trip for the transform). ``inv``: (2, 3) traced.
+    """
+    ny = -(-out_h // TILE)
+    nx = -(-out_w // TILE)
+    oy = (jnp.arange(ny, dtype=jnp.float32) * TILE)[:, None]
+    ox = (jnp.arange(nx, dtype=jnp.float32) * TILE)[None, :]
+    corners = [(0.0, 0.0), (TILE - 1.0, 0.0), (0.0, TILE - 1.0),
+               (TILE - 1.0, TILE - 1.0)]
+    sx = jnp.stack([inv[0, 0] * (ox + cx) + inv[0, 1] * (oy + cy)
+                    + inv[0, 2] for cx, cy in corners]).min(axis=0)
+    sy = jnp.stack([inv[1, 0] * (ox + cx) + inv[1, 1] * (oy + cy)
+                    + inv[1, 2] for cx, cy in corners]).min(axis=0)
+    # arithmetic shifts floor-align negative values like numpy's & ~mask
+    sy0 = (jnp.floor(sy).astype(jnp.int32) - 8) >> 3 << 3
+    sx0 = (jnp.floor(sx).astype(jnp.int32) - 8) >> 7 << 7
+    sy0 = jnp.clip(sy0, 0, (src_h - SRC_H) & ~7)
+    sx0 = jnp.clip(sx0, 0, (src_w - SRC_W) & ~127)
+    oyi = jnp.broadcast_to(oy.astype(jnp.int32), (ny, nx))
+    oxi = jnp.broadcast_to(ox.astype(jnp.int32), (ny, nx))
+    return jnp.stack([jnp.broadcast_to(sy0, (ny, nx)),
+                      jnp.broadcast_to(sx0, (ny, nx)), oyi, oxi],
+                     axis=-1).reshape(ny * nx, 4)
 
 
 def pallas_warp_supported(a23: np.ndarray, src_h: int = 0, src_w: int = 0
@@ -219,6 +250,87 @@ def _run_padded(img2d: jnp.ndarray, a23_np: np.ndarray, out_h: int,
                           float(src_h), float(src_w)], jnp.float32)
     return _run(img2d.astype(jnp.float32), jnp.asarray(starts), params,
                 out_h, out_w, ny, nx)
+
+
+def warp_plan(a23_np: np.ndarray, out_h: int, out_w: int, src_h: int,
+              src_w: int):
+    """Host-side plan for one warp: (starts (T,4) i32, params (8,) f32).
+
+    The tile grid (ny, nx) depends only on the output size, so plans for
+    different transforms of equal-size frames can be stacked and executed
+    in ONE jit program (see ``warp_affine_many``) — per-dispatch overhead
+    on the remote-TPU relay is ~80 ms, 25x the 4K kernel itself.
+    """
+    ph = max(SRC_H, -(-src_h // 8) * 8)
+    pw = max(SRC_W, -(-src_w // 128) * 128)
+    inv = np.asarray(invert_affine(jnp.asarray(a23_np, jnp.float32)))
+    starts, ny, nx = _tile_starts(inv, out_h, out_w, ph, pw)
+    params = np.asarray([inv[0, 0], inv[0, 1], inv[0, 2],
+                         inv[1, 0], inv[1, 1], inv[1, 2],
+                         float(src_h), float(src_w)], np.float32)
+    return starts, params, ny, nx, ph, pw
+
+
+def warp_affine_many(imgs: jnp.ndarray, transforms, out_h: int,
+                     out_w: int) -> jnp.ndarray:
+    """Warp N same-size frames by N transforms in ONE device program.
+
+    ``imgs``: (N, H, W) float32; ``transforms``: host (N, 2, 3). Returns
+    (N, out_h, out_w). Falls back to the XLA path off-TPU or for
+    transforms outside the fast path's envelope.
+    """
+    n, src_h, src_w = imgs.shape
+    tr = [np.asarray(t, np.float32) for t in transforms]
+    on_tpu = jax.default_backend() == "tpu"
+    if not ((on_tpu or _INTERPRET)
+            and all(pallas_warp_supported(t) for t in tr)):
+        return jnp.stack([warp_affine_xla(imgs[i], jnp.asarray(tr[i]),
+                                          out_h, out_w) for i in range(n)])
+    plans = [warp_plan(t, out_h, out_w, src_h, src_w) for t in tr]
+    starts = jnp.asarray(np.stack([p[0] for p in plans]))
+    params = jnp.asarray(np.stack([p[1] for p in plans]))
+    _, _, ny, nx, ph, pw = plans[0]
+    return _run_many(imgs, starts, params, out_h, out_w, ny, nx, ph, pw)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "ny", "nx",
+                                             "ph", "pw"))
+def _run_many(imgs, starts, params, out_h: int, out_w: int, ny: int,
+              nx: int, ph: int, pw: int):
+    outs = []
+    for i in range(imgs.shape[0]):
+        ip = imgs[i]
+        if (ph, pw) != ip.shape:
+            ip = jnp.pad(ip, ((0, ph - ip.shape[0]), (0, pw - ip.shape[1])))
+        outs.append(_run(ip.astype(jnp.float32), starts[i], params[i],
+                         out_h, out_w, ny, nx))
+    return jnp.stack(outs)
+
+
+def warp_affine_traced(img: jnp.ndarray, a23: jnp.ndarray, out_h: int,
+                       out_w: int) -> jnp.ndarray:
+    """In-jit Pallas warp with a TRACED (2, 3) transform.
+
+    The whole plan (inverse, tile starts) stays on device, so callers can
+    fuse registration + warp into one program. No fallback is possible on
+    traced values: the caller must guarantee the near-identity envelope
+    (|linear - I| <= _MAX_DEV) that the static shift windows cover, and
+    TPU/interpret execution.
+    """
+    src_h, src_w = int(img.shape[0]), int(img.shape[1])
+    ph = max(SRC_H, -(-src_h // 8) * 8)
+    pw = max(SRC_W, -(-src_w // 128) * 128)
+    if (ph, pw) != (src_h, src_w):
+        img = jnp.pad(img, ((0, ph - src_h), (0, pw - src_w)))
+    inv = invert_affine(a23)
+    starts = tile_starts_traced(inv, out_h, out_w, ph, pw)
+    params = jnp.stack([inv[0, 0], inv[0, 1], inv[0, 2],
+                        inv[1, 0], inv[1, 1], inv[1, 2],
+                        jnp.float32(src_h), jnp.float32(src_w)])
+    ny = -(-out_h // TILE)
+    nx = -(-out_w // TILE)
+    return _run(img.astype(jnp.float32), starts, params, out_h, out_w,
+                ny, nx)
 
 
 def warp_affine(img: jnp.ndarray, a23, out_h: int, out_w: int

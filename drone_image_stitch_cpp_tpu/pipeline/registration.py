@@ -39,11 +39,10 @@ def bucket_shape(h: int, w: int) -> tuple[int, int]:
 @functools.partial(jax.jit, static_argnames=("max_kp", "out_h", "out_w"))
 def _detect_batch(grays: jnp.ndarray, true_hw: jnp.ndarray, max_kp: int,
                   out_h: int, out_w: int) -> F.Features:
-    """vmapped detect over (B, H, W) padded grays; pad regions are excluded
-    from the per-frame keypoint budget via true_hw."""
-    feats = jax.vmap(
-        lambda g, hw: F.detect_and_describe(g, max_kp, true_hw=hw))(
-        grays, true_hw)
+    """Batched detect over (B, H, W) padded grays; pad regions are excluded
+    from the per-frame keypoint budget via true_hw. On TPU the orientation+
+    descriptor stage runs as a fused Pallas kernel (ops/pallas_sift.py)."""
+    feats = F.detect_and_describe_batched(grays, max_kp, true_hw=true_hw)
     ok = (feats.valid
           & (feats.xy[..., 0] < true_hw[:, None, 1].astype(jnp.float32))
           & (feats.xy[..., 1] < true_hw[:, None, 0].astype(jnp.float32)))
