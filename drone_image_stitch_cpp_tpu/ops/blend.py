@@ -130,6 +130,87 @@ def mb_feed(canvas: MultiBandCanvas, img_roi: jnp.ndarray,
     return MultiBandCanvas(acc=tuple(acc), wacc=tuple(wacc))
 
 
+def pyramid_bytes(canvas_h: int, canvas_w: int, bands: int) -> int:
+    """HBM bytes of the mb_prepare accumulators for a canvas."""
+    ch = align_up(canvas_h, 1 << bands)
+    cw = align_up(canvas_w, 1 << bands)
+    total = 0
+    for lvl in range(bands + 1):
+        total += (ch >> lvl) * (cw >> lvl) * 4 * 4  # acc (3ch) + wacc, f32
+    return total
+
+
+# canvases above this pyramid footprint stream through tiles (v5e HBM is
+# 16 GB; leave room for the source frames and compiler scratch)
+TILED_THRESHOLD_BYTES = 4 << 30
+TILE = 4096
+MAX_TILED_BANDS = 8  # halo is 8*2^bands: bands>8 would need multi-km halos
+
+
+def mb_tile_grid(canvas_h: int, canvas_w: int, bands: int,
+                 tile: int | None = None):
+    """Tile decomposition for HBM-bounded multiband blending.
+
+    Returns (tiles, halo): each tile is (core_y0, core_y1, core_x0,
+    core_x1, ext_y0, ext_y1, ext_x0, ext_x1) — the core region is emitted
+    to the output; the ext(ended) region (core + halo, clipped, aligned to
+    the 2^bands grid) is what the tile's canvas pyramid covers. The
+    Laplacian pyramid's filters have compact support (~4*2^bands px at the
+    coarsest level), so frames beyond the halo contribute nothing to the
+    core: tiling is exact, not an approximation.
+    """
+    g = 1 << bands
+    halo = 8 << bands
+    tile = align_up(tile if tile is not None else TILE, g)
+    tiles = []
+    for cy0 in range(0, canvas_h, tile):
+        cy1 = min(canvas_h, cy0 + tile)
+        for cx0 in range(0, canvas_w, tile):
+            cx1 = min(canvas_w, cx0 + tile)
+            ey0 = max(0, align_down(cy0 - halo, g))
+            ex0 = max(0, align_down(cx0 - halo, g))
+            ey1 = min(align_up(canvas_h, g), align_up(cy1 + halo, g))
+            ex1 = min(align_up(canvas_w, g), align_up(cx1 + halo, g))
+            tiles.append((cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1))
+    return tiles, halo
+
+
+def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
+                     frame_boxes, feed_tile, tile: int | None = None):
+    """Stream a multiband blend through canvas tiles (HBM-bounded).
+
+    ``frame_boxes``: per-frame (x0, y0, x1, y1) canvas-space bounds (host
+    floats); ``feed_tile(canvas_t, i, ey0, ex0, eh, ew) -> canvas_t``
+    feeds frame i into a tile-local canvas whose origin is (ex0, ey0).
+    Returns the blended (canvas_h, canvas_w, 3) uint8 numpy mosaic.
+
+    The full-canvas pyramid of a 200-frame 4K sortie (~800 MP) needs
+    ~17 GB of accumulators — over single-chip HBM. Tiles bound device
+    memory at O(tile + halo) regardless of canvas size; the assembled
+    mosaic lives in host RAM.
+    """
+    import numpy as np
+
+    bands = min(bands, MAX_TILED_BANDS)
+    tiles, _ = mb_tile_grid(canvas_h, canvas_w, bands, tile)
+    out = np.zeros((canvas_h, canvas_w, 3), np.uint8)
+    for (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in tiles:
+        eh, ew = ey1 - ey0, ex1 - ex0
+        canvas_t = mb_prepare(eh, ew, bands)
+        fed = 0
+        for i, (fx0, fy0, fx1, fy1) in enumerate(frame_boxes):
+            if fx1 <= ex0 or fx0 >= ex1 or fy1 <= ey0 or fy0 >= ey1:
+                continue
+            canvas_t = feed_tile(canvas_t, i, ey0, ex0, eh, ew)
+            fed += 1
+        if fed:
+            img, _ = mb_blend(canvas_t, eh, ew)
+            out[cy0:cy1, cx0:cx1] = np.asarray(
+                img[cy0 - ey0:cy1 - ey0, cx0 - ex0:cx1 - ex0]
+            ).astype(np.uint8)
+    return out
+
+
 def mb_blend(canvas: MultiBandCanvas, out_h: int, out_w: int):
     """Normalize, collapse, crop. Returns (img (H,W,3) f32, valid (H,W))."""
     eps = 1e-5

@@ -222,6 +222,22 @@ def graphcut_pairwise_seam(img_a, img_b, mask_a, mask_b):
     return new_a, new_b
 
 
+def _mask_bbox(mask) -> tuple[int, int, int, int] | None:
+    """(y0, y1, x0, x1) bounding the True region, or None when empty."""
+    import numpy as np
+
+    m = np.asarray(mask)
+    ys = np.flatnonzero(m.any(axis=1))
+    if ys.size == 0:
+        return None
+    xs = np.flatnonzero(m.any(axis=0))
+    return int(ys[0]), int(ys[-1]) + 1, int(xs[0]), int(xs[-1]) + 1
+
+
+def _align_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
 def find_seams_sequential(images: list[jnp.ndarray],
                           masks: list[jnp.ndarray],
                           axes: list[str] | None = None,
@@ -233,6 +249,14 @@ def find_seams_sequential(images: list[jnp.ndarray],
     caller supplies per-adjacent-pair seam axes (from transform geometry);
     non-adjacent pairs reuse the dominant axis.
 
+    Overlap-aware scheduling (matching OpenCV, which only processes
+    overlapping pairs on overlap ROIs — stitch_global.cpp:583-630): pairs
+    whose mask bounding boxes do not intersect are skipped on the host, and
+    the DP seam runs on the intersection bbox only (padded to a 64-px grid
+    so jit recompiles stay bounded), not the whole canvas — without this a
+    20-frame strip pays 190 full-canvas DP scans and a 200-frame sortie
+    makes seams a top-line cost.
+
     ``method="graphcut"`` uses the native min-cut solver per pair and falls
     back to the DP seam when unavailable (the reference's ladder).
     """
@@ -240,8 +264,19 @@ def find_seams_sequential(images: list[jnp.ndarray],
 
     n = len(images)
     masks = list(masks)
+    h, w = images[0].shape[:2]
+    boxes = [_mask_bbox(m) for m in masks]
     for i in range(n - 1):
         for j in range(i + 1, n):
+            bi, bj = boxes[i], boxes[j]
+            if bi is None or bj is None:
+                continue
+            y0 = max(bi[0], bj[0])
+            y1 = min(bi[1], bj[1])
+            x0 = max(bi[2], bj[2])
+            x1 = min(bi[3], bj[3])
+            if y0 >= y1 or x0 >= x1:
+                continue  # bboxes disjoint -> no overlap, no work
             if method == "graphcut":
                 got = graphcut_pairwise_seam(
                     np.asarray(images[i]), np.asarray(images[j]),
@@ -249,10 +284,21 @@ def find_seams_sequential(images: list[jnp.ndarray],
                 if got is not None:
                     masks[i] = jnp.asarray(got[0])
                     masks[j] = jnp.asarray(got[1])
+                    boxes[i] = _mask_bbox(masks[i])
+                    boxes[j] = _mask_bbox(masks[j])
                     continue
             ax = "vertical"
             if axes is not None:
                 ax = axes[min(j - 1, len(axes) - 1)]
-            masks[i], masks[j] = pairwise_seam(
-                images[i], images[j], masks[i], masks[j], axis=ax)
+            # crop to the intersection bbox, bucketed to limit recompiles
+            y1b = min(h, y0 + _align_up(y1 - y0, 64))
+            x1b = min(w, x0 + _align_up(x1 - x0, 64))
+            sl = (slice(y0, y1b), slice(x0, x1b))
+            na, nb = pairwise_seam(
+                images[i][sl], images[j][sl], masks[i][sl], masks[j][sl],
+                axis=ax)
+            masks[i] = masks[i].at[sl].set(na)
+            masks[j] = masks[j].at[sl].set(nb)
+            boxes[i] = _mask_bbox(masks[i])
+            boxes[j] = _mask_bbox(masks[j])
     return masks

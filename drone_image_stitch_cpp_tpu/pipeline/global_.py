@@ -352,19 +352,25 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
 
     # ---- multiband blend with soft masks (:632-666) ----------------------
     bands = B.num_blend_bands(tuning.blend_bands, canvas_h, canvas_w)
-    log.log("GlobalCustom", "blend", bands=bands)
-    canvas = B.mb_prepare(canvas_h, canvas_w, bands)
+    use_tiled = (B.pyramid_bytes(canvas_h, canvas_w, bands)
+                 > B.TILED_THRESHOLD_BYTES)
+    if use_tiled:
+        bands = min(bands, B.MAX_TILED_BANDS)
+    log.log("GlobalCustom", "blend", bands=bands, tiled=use_tiled)
     feed = jax.jit(B.mb_feed, donate_argnums=0)
-    ch = canvas.wacc[0].shape[0]
-    cw = canvas.wacc[0].shape[1]
 
-    for i in range(n):
-        bx0, by0 = boxes[i][0] - x0, boxes[i][1] - y0
-        bx1, by1 = boxes[i][2] - x0, boxes[i][3] - y0
-        tlx, tly, rw_, rh_ = B.aligned_roi(bx0, by0, bx1, by1, bands, ch, cw)
-        rw_b = B.align_down(min(B.align_up(rw_, 256), cw - tlx), 1 << bands)
-        rh_b = B.align_down(min(B.align_up(rh_, 256), ch - tly), 1 << bands)
-        t_roi = np.asarray([[1, 0, -tlx], [0, 1, -tly]], np.float32)
+    def feed_roi(cv, i, oy, ox, ch_, cw_):
+        """Feed strip i into a canvas pyramid with origin (ox, oy)."""
+        bx0, by0 = boxes[i][0] - x0 - ox, boxes[i][1] - y0 - oy
+        bx1, by1 = boxes[i][2] - x0 - ox, boxes[i][3] - y0 - oy
+        tlx, tly, rw_, rh_ = B.aligned_roi(bx0, by0, bx1, by1, bands,
+                                           ch_, cw_)
+        rw_b = B.align_down(min(B.align_up(rw_, 256), cw_ - tlx),
+                            1 << bands)
+        rh_b = B.align_down(min(B.align_up(rh_, 256), ch_ - tly),
+                            1 << bands)
+        gx, gy = ox + tlx, oy + tly
+        t_roi = np.asarray([[1, 0, -gx], [0, 1, -gy]], np.float32)
         t_full = np.asarray(compose_affine(
             jnp.asarray(t_roi), jnp.asarray(t_canvas[i])))
         img32 = jnp.asarray(strips[i].astype(np.float32))
@@ -373,14 +379,25 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         cmask = fast_warp(nonblack_mask(img32, 2.0).astype(jnp.float32),
                           t_full, rh_b, rw_b) >= 0.999
         # soft feathered seam mask (sigma=10, :332-351)
-        sroi = _mask_roi_upsample(seam_out[i], tlx, tly, rh_b, rw_b,
+        sroi = _mask_roi_upsample(seam_out[i], gx, gy, rh_b, rw_b,
                                   seam_scale)
         soft = gaussian_blur(sroi, _SOFT_MASK_SIGMA)
         weight = jnp.where(cmask, soft, 0.0)
-        canvas = feed(canvas, wimg, weight, tlx, tly, cmask)
+        return feed(cv, wimg, weight, tlx, tly, cmask)
 
-    out, _ = B.mb_blend(canvas, canvas_h, canvas_w)
-    result = np.asarray(out).astype(np.uint8)
+    if use_tiled:
+        frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
+                       for b in boxes]
+        result = B.mb_compose_tiled(canvas_h, canvas_w, bands,
+                                    frame_boxes, feed_roi)
+    else:
+        canvas = B.mb_prepare(canvas_h, canvas_w, bands)
+        for i in range(n):
+            canvas = feed_roi(canvas, i, 0, 0,
+                              canvas.wacc[0].shape[0],
+                              canvas.wacc[0].shape[1])
+        out, _ = B.mb_blend(canvas, canvas_h, canvas_w)
+        result = np.asarray(out).astype(np.uint8)
     log.log("GlobalCustom", "composed",
             seconds=round(time.perf_counter() - t_start, 2))
     return result

@@ -237,40 +237,58 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     # strip stage uses the configured band count directly (the adaptive
     # canvas formula is a global-stage behavior, stitch_global.cpp:632-635)
     bands = max(1, tuning.blend_bands)
-    canvas = B.mb_prepare(canvas_h, canvas_w, bands)
+    use_tiled = (B.pyramid_bytes(canvas_h, canvas_w, bands)
+                 > B.TILED_THRESHOLD_BYTES)
+    if use_tiled:
+        bands = min(bands, B.MAX_TILED_BANDS)
+        log.log(stage, "tiled compose",
+                tiles=len(B.mb_tile_grid(canvas_h, canvas_w, bands)[0]),
+                bands=bands)
     feed = jax.jit(B.mb_feed, donate_argnums=0,
                    static_argnames=())
 
-    for i in range(n):
-        bx0, by0, bx1, by1 = boxes[i][0] - x0, boxes[i][1] - y0, \
-            boxes[i][2] - x0, boxes[i][3] - y0
+    def feed_roi(cv, i, oy, ox, ch_, cw_):
+        """Feed frame i into a canvas pyramid with origin (ox, oy)."""
+        bx0, by0 = boxes[i][0] - x0 - ox, boxes[i][1] - y0 - oy
+        bx1, by1 = boxes[i][2] - x0 - ox, boxes[i][3] - y0 - oy
         tlx, tly, rw_, rh_ = B.aligned_roi(
             float(bx0), float(by0), float(bx1), float(by1), bands,
-            canvas.wacc[0].shape[0], canvas.wacc[0].shape[1])
+            ch_, cw_)
         # bucket ROI dims to limit recompiles
-        rw_b = min(B.align_up(rw_, 256), canvas.wacc[0].shape[1] - tlx)
-        rh_b = min(B.align_up(rh_, 256), canvas.wacc[0].shape[0] - tly)
+        rw_b = min(B.align_up(rw_, 256), cw_ - tlx)
+        rh_b = min(B.align_up(rh_, 256), ch_ - tly)
         rw_b = B.align_down(rw_b, 1 << bands)
         rh_b = B.align_down(rh_b, 1 << bands)
 
-        t_roi = (np.asarray([[1, 0, -tlx], [0, 1, -tly]], np.float32))
+        gx, gy = ox + tlx, oy + tly     # global canvas offsets of the ROI
+        t_roi = (np.asarray([[1, 0, -gx], [0, 1, -gy]], np.float32))
         t_full = np.asarray(compose_affine(jnp.asarray(t_roi),
                                            jnp.asarray(t_canvas[i])))
         img32 = jnp.asarray(images[i].astype(np.float32))
         wimg = _warp(img32, t_full, rh_b, rw_b, fast=True)
         if gain_maps is not None:
             # warp (gain - 1) so the constant border resolves to gain 1
-            groi = 1.0 + _upsample_mask_roi(gain_maps[i] - 1.0, tlx, tly,
+            groi = 1.0 + _upsample_mask_roi(gain_maps[i] - 1.0, gx, gy,
                                             rh_b, rw_b, seam_scale)
             wimg = wimg * groi[..., None]
         # seam mask upsampled from seam scale into the ROI
-        smask_roi = _upsample_mask_roi(seam_masks[i], tlx, tly, rh_b, rw_b,
+        smask_roi = _upsample_mask_roi(seam_masks[i], gx, gy, rh_b, rw_b,
                                        seam_scale)
         cmask = _warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
                       t_full, rh_b, rw_b, fast=True) >= 0.5
         weight = smask_roi * cmask.astype(jnp.float32)
-        canvas = feed(canvas, wimg, weight, tlx, tly, cmask)
+        return feed(cv, wimg, weight, tlx, tly, cmask)
 
+    if use_tiled:
+        frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
+                       for b in boxes]
+        return B.mb_compose_tiled(canvas_h, canvas_w, bands, frame_boxes,
+                                  feed_roi)
+
+    canvas = B.mb_prepare(canvas_h, canvas_w, bands)
+    for i in range(n):
+        canvas = feed_roi(canvas, i, 0, 0,
+                          canvas.wacc[0].shape[0], canvas.wacc[0].shape[1])
     out, valid = B.mb_blend(canvas, canvas_h, canvas_w)
     return np.asarray(out).astype(np.uint8)
 

@@ -129,3 +129,21 @@ def test_blend_bands_cap_only_auto_term():
     assert num_blend_bands(14, 1000, 1000) == 14
     assert num_blend_bands(5, 1 << 20, 1 << 20) == 12
     assert num_blend_bands(3, 1000, 1000) == max(5, 9)
+
+
+def test_tiled_compose_matches_single_canvas(ortho, monkeypatch):
+    """HBM-bounded tiled compose is exact: forcing the tiled path (tiny
+    threshold + tile size) must reproduce the single-canvas mosaic (the
+    pyramid filters have compact support; the halo covers it)."""
+    from drone_image_stitch_cpp_tpu.ops import blend as B
+
+    imgs, _, _ = render_sortie(ortho, 1, 4, frame_h=160, frame_w=208,
+                               overlap=0.5)
+    tuning = _small_tuning()
+    single = stitch_strip(imgs, tuning, stage="T", seed=0)
+    monkeypatch.setattr(B, "TILED_THRESHOLD_BYTES", 1)
+    monkeypatch.setattr(B, "TILE", 256)
+    tiled = stitch_strip(imgs, tuning, stage="T", seed=0)
+    assert tiled.shape == single.shape
+    diff = np.abs(tiled.astype(np.float32) - single.astype(np.float32))
+    assert diff.max() <= 2.0, diff.max()  # uint8 rounding only
