@@ -119,6 +119,19 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
 
         images = _undistort_if_ready(loaded.images, tuning, cfg.image_type)
 
+        # data-parallel mesh over all visible devices: the registration
+        # pair axis shards across it (pairgraph.register_pairs); a single
+        # device runs unsharded
+        mesh = None
+        try:
+            import jax
+            from .parallel.mesh import make_mesh
+            if len(jax.devices()) > 1:
+                mesh = make_mesh(len(jax.devices()))
+                log.log("Main", "mesh", devices=int(mesh.devices.size))
+        except Exception as e:
+            log.log("Main", "mesh unavailable", error=str(e))
+
         ckpt_dir = os.path.join(cfg.output_dir, "strips")
         strips_done: Optional[List[np.ndarray]] = None
         if cfg.resume:
@@ -144,7 +157,7 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                         pano = stitch_strip(
                             imgs, strip_tuning, stage=f"Strip{gi}",
                             range_width_override=tuning.range_width,
-                            image_tags=tags)
+                            image_tags=tags, mesh=mesh)
                     pano = auto_crop_black_border(pano)
                     strip_panos.append(pano)
                     if cfg.save_strips:
@@ -160,7 +173,7 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                         flat, tuning.replace(
                             sift_features=tuning.strip_sift_features),
                         stage="Single",
-                        range_width_override=tuning.range_width)
+                        range_width_override=tuning.range_width, mesh=mesh)
                 pano = auto_crop_black_border(pano)
                 _write_image(cfg.output_path, pano)
                 log.log("Main", "wrote", path=cfg.output_path)

@@ -79,30 +79,46 @@ def _register_chunk(desc_a, valid_a, xy_a, desc_b, valid_b, xy_b, keys,
 def register_pairs(feats: Features, pairs: List[Tuple[int, int]],
                    ratio: float, thresh: float, kind: str = "similarity",
                    n_hyp: int = 1024, chunk: int = 16,
-                   seed: int = 0) -> PairGraph:
+                   seed: int = 0, mesh=None) -> PairGraph:
     """Match + RANSAC every (i, j) in ``pairs``.
 
     ``feats``: batched Features (leading frame axis). ``thresh`` is in the
     same coordinate units as feats.xy. Chunked so HBM holds at most
-    ``chunk`` (K, K) distance matrices at once.
+    ``chunk`` (K, K) distance matrices at once per device.
+
+    ``mesh``: optional 1-D jax.sharding.Mesh ("dp" axis). Pairs are data-
+    parallel: each chunk's pair axis is sharded over the mesh (the (K, K)
+    distance matmul + RANSAC bank partition trivially along it; collectives
+    ride ICI only for the gather/concat boundaries). Per-pair PRNG keys
+    make results independent of the device count.
     """
     p = len(pairs)
     assert p > 0
     pa = np.asarray(pairs, np.int32)
-    n_chunks = -(-p // chunk)
-    pad = n_chunks * chunk - p
+    step = chunk
+    sharding = None
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        axis = mesh.axis_names[0]
+        step = chunk * int(mesh.devices.size)
+        sharding = NamedSharding(mesh, PartitionSpec(axis))
+    n_chunks = -(-p // step)
+    pad = n_chunks * step - p
     pa_pad = np.concatenate([pa, np.tile(pa[-1:], (pad, 1))]) if pad else pa
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks * chunk)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks * step)
     outs = []
     for c in range(n_chunks):
-        sl = slice(c * chunk, (c + 1) * chunk)
+        sl = slice(c * step, (c + 1) * step)
         idx_i = jnp.asarray(pa_pad[sl, 0])
         idx_j = jnp.asarray(pa_pad[sl, 1])
+        args = [feats.desc[idx_i], feats.valid[idx_i], feats.xy[idx_i],
+                feats.desc[idx_j], feats.valid[idx_j], feats.xy[idx_j],
+                keys[sl]]
+        if sharding is not None:
+            args = [jax.device_put(a, sharding) for a in args]
         outs.append(_register_chunk(
-            feats.desc[idx_i], feats.valid[idx_i], feats.xy[idx_i],
-            feats.desc[idx_j], feats.valid[idx_j], feats.xy[idx_j],
-            keys[sl], jnp.float32(ratio), jnp.float32(thresh), kind, n_hyp))
+            *args, jnp.float32(ratio), jnp.float32(thresh), kind, n_hyp))
 
     cat = [jnp.concatenate([o[f] for o in outs])[:p] for f in range(8)]
     model, n_good, n_inl, conf, ok, src, dst, w = cat

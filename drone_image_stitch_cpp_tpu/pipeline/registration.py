@@ -36,6 +36,9 @@ def bucket_shape(h: int, w: int) -> tuple[int, int]:
     return (_bucket_dim(h), _bucket_dim(w))
 
 
+_DETECT_CHUNK = 8  # frames per compiled detect program
+
+
 @functools.partial(jax.jit, static_argnames=("max_kp", "out_h", "out_w"))
 def _detect_batch(grays: jnp.ndarray, true_hw: jnp.ndarray, max_kp: int,
                   out_h: int, out_w: int) -> F.Features:
@@ -81,9 +84,28 @@ def detect_features(images: List[np.ndarray], n_features: int,
         # edge-replicate pad: no fake gradients at the pad frontier
         g = jnp.pad(g, ((0, bh - wh), (0, bw - ww)), mode="edge")
         grays.append(g)
-    batch = jnp.stack(grays)
     true_hw = jnp.asarray(work_hw, jnp.int32)
-    feats = _detect_batch(batch, true_hw, n_features, bh, bw)
+    n = len(grays)
+    if n <= _DETECT_CHUNK:
+        feats = _detect_batch(jnp.stack(grays), true_hw, n_features,
+                              bh, bw)
+    else:
+        # chunk the frame axis: a 200-frame sortie in ONE program needs
+        # ~10 GB of scale-space intermediates and a compile the remote
+        # helper rejects; fixed-size chunks reuse one compiled program
+        outs = []
+        for c0 in range(0, n, _DETECT_CHUNK):
+            chunk = grays[c0:c0 + _DETECT_CHUNK]
+            thw = true_hw[c0:c0 + _DETECT_CHUNK]
+            take = len(chunk)
+            if take < _DETECT_CHUNK:  # pad to reuse the compiled shape
+                chunk = chunk + [chunk[-1]] * (_DETECT_CHUNK - take)
+                thw = jnp.concatenate(
+                    [thw, jnp.tile(thw[-1:], (_DETECT_CHUNK - take, 1))])
+            fc = _detect_batch(jnp.stack(chunk), thw, n_features, bh, bw)
+            outs.append(jax.tree_util.tree_map(lambda a: a[:take], fc))
+        feats = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *outs)
     # back to full-res coordinates with EXACT per-axis scales (the rounded
     # work size makes the effective scale differ from the nominal one by
     # ~1e-3 — a pixel of systematic drift across a frame if ignored); the

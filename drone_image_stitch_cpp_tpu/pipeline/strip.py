@@ -56,10 +56,13 @@ def estimate_strip_transforms(images: List[np.ndarray],
                               tuning: StitchTuning,
                               range_width: Optional[int] = None,
                               matching_mask: Optional[np.ndarray] = None,
-                              stage: str = "Strip", seed: int = 0):
+                              stage: str = "Strip", seed: int = 0,
+                              mesh=None):
     """Registration: features -> banded pair graph -> component -> BA.
 
     Returns (kept_indices, transforms (n_kept, 2, 3) frame->frame0, graph).
+    ``mesh``: optional device mesh — the pair-registration chunk axis is
+    data-parallel across it (see pairgraph.register_pairs).
     """
     log = get_logger()
     n = len(images)
@@ -77,7 +80,7 @@ def estimate_strip_transforms(images: List[np.ndarray],
         raise StripStitchError(f"{stage}: empty pair schedule")
 
     graph = register_pairs(feats, pairs, _LOWE_RATIO, thresh=4.0 / scale,
-                           kind="similarity", seed=seed)
+                           kind="similarity", seed=seed, mesh=mesh)
     conf = np.asarray(graph.conf)
     ok = np.asarray(graph.ok)
     keep = ok & (conf >= tuning.pano_conf_thresh)
@@ -312,7 +315,7 @@ def stitch_strip(images: List[np.ndarray],
                  range_width_override: Optional[int] = None,
                  image_tags: Optional[Sequence[str]] = None,
                  matching_mask: Optional[np.ndarray] = None,
-                 seed: int = 0) -> np.ndarray:
+                 seed: int = 0, mesh=None) -> np.ndarray:
     """Robust strip stitch with the reference's fallback ladder.
 
     Reference: stitchRobustly (stitch_robust.cpp:337-376): joint stitch
@@ -334,7 +337,8 @@ def stitch_strip(images: List[np.ndarray],
 
     try:
         kept, transforms, _ = estimate_strip_transforms(
-            images, tuning, range_width_override, matching_mask, stage, seed)
+            images, tuning, range_width_override, matching_mask, stage,
+            seed, mesh)
         imgs = [images[i] for i in kept]
         if len(kept) < n:
             log.log(stage, "dropped weak frames",

@@ -58,3 +58,28 @@ def test_sharded_matches_single_device():
     t4, c4 = outs[1]
     assert np.allclose(t1, t4, atol=1e-3), np.abs(t1 - t4).max()
     assert np.allclose(c1, c4, atol=0.5)
+
+
+def test_app_registration_device_count_invariant():
+    """The PRODUCTION registration path (estimate_strip_transforms with a
+    sharded pair axis) must produce identical transforms on 1 device and
+    on the full 8-device mesh (per-pair PRNG keys; data-parallel only)."""
+    import numpy as np
+
+    from drone_image_stitch_cpp_tpu.config.tuning import StitchTuning
+    from drone_image_stitch_cpp_tpu.parallel.mesh import make_mesh
+    from drone_image_stitch_cpp_tpu.pipeline.strip import (
+        estimate_strip_transforms)
+    from drone_image_stitch_cpp_tpu.utils.synthetic import synthetic_ortho
+
+    ortho = synthetic_ortho(h=200, w=420, seed=3)
+    imgs = [ortho[20:180, 30 * i:30 * i + 208].astype(np.uint8)
+            for i in range(5)]
+    tuning = StitchTuning(sift_features=192, registration_resol_mpx=-1.0)
+    kept1, tr1, _ = estimate_strip_transforms(imgs, tuning, stage="T",
+                                              seed=3, mesh=None)
+    mesh = make_mesh(8, platform="cpu")
+    kept8, tr8, _ = estimate_strip_transforms(imgs, tuning, stage="T",
+                                              seed=3, mesh=mesh)
+    assert kept1 == kept8
+    assert np.abs(tr1 - tr8).max() < 1e-4, np.abs(tr1 - tr8).max()
