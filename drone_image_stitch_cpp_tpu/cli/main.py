@@ -12,7 +12,6 @@ import argparse
 import dataclasses
 import sys
 
-from ..app import RunConfig, run_stitch_application
 from ..config.tuning import StitchTuning
 
 
@@ -61,6 +60,22 @@ def _str2bool(v: str) -> bool:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # The accelerator toggle must act BEFORE any JAX import: once XLA
+    # backends initialize the platform cannot change (and the JAX_PLATFORMS
+    # env var is ignored in some images). use_opencl/try_gpu map to "use
+    # the accelerator" (reference analog: stitch_robust.cpp:259-270 CPU
+    # retry ladder; cv::ocl toggles).
+    accel = (args.use_opencl if args.use_opencl is not None else True) and         (args.try_gpu if args.try_gpu is not None else True)
+    if not accel:
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # already initialized; select_backend logs the mismatch
+
+    from ..app import RunConfig, run_stitch_application
+
     overrides = {}
     for f in dataclasses.fields(StitchTuning):
         if f.name == "calibration":

@@ -208,7 +208,10 @@ def ransac(src: jnp.ndarray, dst: jnp.ndarray, good: jnp.ndarray,
     model = t_d_inv @ h @ t_s
     model = model / jnp.where(jnp.abs(model[2, 2]) > 1e-12, model[2, 2], 1.0)
 
-    ok = (n_inl >= min_inliers) & (n_good >= m) & (scores[best] > 0)
+    # NaN guard (SURVEY section 5): a degenerate minimal sample can push
+    # non-finite values through the solve; such models must never be "ok"
+    ok = ((n_inl >= min_inliers) & (n_good >= m) & (scores[best] > 0)
+          & jnp.isfinite(model).all())
     return RansacResult(model=model.astype(jnp.float32), inliers=inl,
                         n_inliers=n_inl, ok=ok)
 

@@ -216,7 +216,11 @@ def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
                 inliers=est.inliers, matches=est.matches,
                 ratio=round(est.ratio, 3))
         # est.model maps oriented-cur -> oriented-prev coords
-        transforms.append((transforms[i - 1] @ est.model).astype(np.float32))
+        chained = (transforms[i - 1] @ est.model).astype(np.float32)
+        if not np.isfinite(chained).all():  # NaN guard (SURVEY section 5)
+            raise GlobalStitchError(
+                f"strip {i} chained transform is non-finite")
+        transforms.append(chained)
         flipped.append(bool(use_flip))
         oriented.append(cur_flip if use_flip else cur)
         f_prev = f_flip if use_flip else f_cur

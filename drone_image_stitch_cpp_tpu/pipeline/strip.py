@@ -130,8 +130,14 @@ def estimate_strip_transforms(images: List[np.ndarray],
             jnp.asarray(graph.pairs)[pk], graph.pts_a[pk], graph.pts_b[pk],
             graph.w[pk], init_params)
         transforms = np.asarray(refined)
+        if not np.isfinite(transforms).all():  # NaN guard (SURVEY sec. 5)
+            log.log(stage, "bundle adjust produced non-finite transforms; "
+                           "keeping chain init")
+            transforms = init_t[:, :2, :]
     else:
         transforms = init_t[:, :2, :]
+    if not np.isfinite(transforms).all():
+        raise StripStitchError(f"{stage}: non-finite transforms")
 
     kept = sorted(comp_set)
     return kept, transforms[np.asarray(kept)], graph

@@ -58,3 +58,15 @@ def ortho():
     return synthetic_ortho()
 
 
+
+# ---- fast test tier ("pytest -m quick": < 5 min on one CPU core) ----------
+_QUICK_MODULES = {
+    "test_config", "test_ops_image", "test_ops_blend_seam",
+    "test_graphcut", "test_ops_ransac",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        if it.module.__name__ in _QUICK_MODULES:
+            it.add_marker(pytest.mark.quick)
