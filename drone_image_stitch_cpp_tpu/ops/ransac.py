@@ -132,7 +132,7 @@ def _residual_sq(model: jnp.ndarray, src: jnp.ndarray,
     return jnp.sum((proj - dst) ** 2, axis=-1)
 
 
-def ransac(src: jnp.ndarray, dst: jnp.ndarray, good: jnp.ndarray,
+def _ransac_impl(src: jnp.ndarray, dst: jnp.ndarray, good: jnp.ndarray,
            key: jax.Array, kind: str, thresh: float = 4.0,
            n_hyp: int = 1024, refine_iters: int = 3,
            min_inliers: int = 4) -> RansacResult:
@@ -148,6 +148,7 @@ def ransac(src: jnp.ndarray, dst: jnp.ndarray, good: jnp.ndarray,
     k = src.shape[0]
     goodf = good.astype(jnp.float32)
     n_good = jnp.sum(good.astype(jnp.int32))
+
 
     # Hartley-ish normalization over the good set (float32 conditioning).
     cs, ss = _normalize_stats(src, goodf)
@@ -220,6 +221,18 @@ def estimate_affine_partial2d(src, dst, good, key, thresh=4.0, n_hyp=1024):
     """cv::estimateAffinePartial2D analog (similarity model)."""
     return ransac(src, dst, good, key, "similarity", thresh, n_hyp,
                   refine_iters=3)
+
+
+def ransac(*args, **kwargs) -> RansacResult:
+    """Robust model fit (see ``_ransac_impl``) under f32 matmuls.
+
+    The LS solvers' normal-equation products run on the MXU, whose default
+    precision rounds INPUTS to bf16 (~0.4%); on normalized coordinates
+    that is the same order as the inlier threshold and visibly degrades
+    models/inlier sets on TPU.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _ransac_impl(*args, **kwargs)
 
 
 def estimate_affine2d(src, dst, good, key, thresh=4.0, n_hyp=1024):

@@ -99,10 +99,46 @@ def bundle_adjust_similarity(pair_idx: jnp.ndarray, pts_a: jnp.ndarray,
 
     Returns (N, 2, 3) refined frame->reference transforms. Fully jittable
     (static P, K, N).
+
+    Numerics: coordinates are centered/scaled to O(1) before the system is
+    assembled (x^2 terms at 4K-pixel coordinates hit 1.5e7: the raw normal
+    equations have condition ~1e7, marginal in f32 — and fatal on the TPU,
+    where default matmul precision rounds einsum INPUTS to bf16, i.e. +-8
+    px at x=3840; round 2's first 200-frame sortie collapsed every strip
+    to a ~0.24-scale point cloud this way). The solve runs under
+    float32-precision matmuls; the result is conjugated back.
     """
     n = init_params.shape[0]
-    ata, atb = normal_equations(pair_idx, pts_a, pts_b, w, n)
-    return solve_with_priors(ata, atb, init_params)
+    with jax.default_matmul_precision("float32"):
+        # shared Hartley-style frame: p_n = (p - c) / s
+        wsum = jnp.maximum(jnp.sum(w), 1e-6)
+        c = (jnp.sum(pts_a * w[..., None], axis=(0, 1))
+             + jnp.sum(pts_b * w[..., None], axis=(0, 1))) / (2.0 * wsum)
+        spread = (jnp.sum(jnp.abs(pts_a - c) * w[..., None])
+                  + jnp.sum(jnp.abs(pts_b - c) * w[..., None])) / (
+            4.0 * wsum)
+        s = jnp.maximum(spread, 1e-3)
+
+        pa_n = (pts_a - c) / s
+        pb_n = (pts_b - c) / s
+        # conjugate the init: T_n = D T D^-1 with D = [(1/s)I | -c/s]
+        # for similarity params (a, b, tx, ty): a,b invariant;
+        # t_n = (A c + t - c) / s with A = [[a,-b],[b,a]]
+        a_, b_ = init_params[:, 0], init_params[:, 1]
+        tx, ty = init_params[:, 2], init_params[:, 3]
+        tnx = (a_ * c[0] - b_ * c[1] + tx - c[0]) / s
+        tny = (b_ * c[0] + a_ * c[1] + ty - c[1]) / s
+        init_n = jnp.stack([a_, b_, tnx, tny], axis=-1)
+
+        ata, atb = normal_equations(pair_idx, pa_n, pb_n, w, n)
+        t_n = solve_with_priors(ata, atb, init_n)  # (N, 2, 3) normalized
+
+        # denormalize: T = D^-1 T_n D
+        an, bn = t_n[:, 0, 0], t_n[:, 1, 0]
+        tnx2, tny2 = t_n[:, 0, 2], t_n[:, 1, 2]
+        txf = -an * c[0] + bn * c[1] + s * tnx2 + c[0]
+        tyf = -bn * c[0] - an * c[1] + s * tny2 + c[1]
+        return affine_from_params(jnp.stack([an, bn, txf, tyf], axis=-1))
 
 
 bundle_adjust_similarity_jit = jax.jit(bundle_adjust_similarity)
