@@ -130,8 +130,39 @@ def bundle_adjust_similarity(pair_idx: jnp.ndarray, pts_a: jnp.ndarray,
         tny = (b_ * c[0] + a_ * c[1] + ty - c[1]) / s
         init_n = jnp.stack([a_, b_, tnx, tny], axis=-1)
 
-        ata, atb = normal_equations(pair_idx, pa_n, pb_n, w, n)
-        t_n = solve_with_priors(ata, atb, init_n)  # (N, 2, 3) normalized
+        # IRLS robust solve: a falsely-verified pair model (periodic
+        # texture can lock RANSAC onto a coherent wrong offset with a
+        # conf above the keep threshold) would otherwise drag every frame
+        # it touches. Per-EDGE Cauchy weights from the RMS residual —
+        # first evaluated at the chain init, then re-evaluated once at
+        # the solution — cut such edges by ~(rms/tau)^-2 while leaving
+        # consistent edges (rms ~ a few px) at full weight.
+        tau = 12.0 / s  # ~3x the RANSAC inlier threshold, normalized
+
+        def edge_weights(params_n):
+            t23 = affine_from_params(params_n)          # (N, 2, 3)
+            ti = t23[pair_idx[:, 0]]                    # (P, 2, 3)
+            tj = t23[pair_idx[:, 1]]
+
+            def appl(t, p):
+                return (jnp.einsum("pab,pkb->pka", t[:, :, :2], p,
+                                   precision=jax.lax.Precision.HIGHEST)
+                        + t[:, None, :, 2])
+
+            res = appl(ti, pa_n) - appl(tj, pb_n)       # (P, K, 2)
+            r2 = jnp.sum(res * res, axis=-1)
+            wsum_e = jnp.maximum(jnp.sum(w, axis=1), 1e-6)
+            rms = jnp.sqrt(jnp.sum(r2 * w, axis=1) / wsum_e)
+            return 1.0 / (1.0 + (rms / tau) ** 2)       # (P,)
+
+        t_n = None
+        params_cur = init_n
+        for _ in range(2):
+            we = edge_weights(params_cur)
+            ata, atb = normal_equations(pair_idx, pa_n, pb_n,
+                                        w * we[:, None], n)
+            t_n = solve_with_priors(ata, atb, init_n)   # (N, 2, 3) norm.
+            params_cur = params_from_affine(t_n)
 
         # denormalize: T = D^-1 T_n D
         an, bn = t_n[:, 0, 0], t_n[:, 1, 0]

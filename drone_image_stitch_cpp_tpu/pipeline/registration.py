@@ -52,6 +52,26 @@ def _detect_batch(grays: jnp.ndarray, true_hw: jnp.ndarray, max_kp: int,
     return feats._replace(valid=ok)
 
 
+@functools.partial(jax.jit, static_argnames=("max_kp", "wh", "ww", "bh",
+                                             "bw"))
+def _detect_batch_u8(frames_u8: jnp.ndarray, max_kp: int, wh: int, ww: int,
+                     bh: int, bw: int) -> F.Features:
+    """Fused ingest+detect for same-sized BGR uint8 frames (B, H, W, 3).
+
+    Frames cross host->device as uint8 (4x less tunnel traffic than f32;
+    a 200-frame 4K sortie moves 1.6 GB instead of 6.6 GB) and gray/resize/
+    pad run inside the one compiled program instead of 3 dispatches per
+    frame (~80 ms each on the remote relay).
+    """
+    b = frames_u8.shape[0]
+    gray = bgr_to_gray(frames_u8.astype(jnp.float32))
+    if (wh, ww) != gray.shape[1:]:
+        gray = jax.vmap(lambda g: resize_area(g, wh, ww))(gray)
+    gray = jnp.pad(gray, ((0, 0), (0, bh - wh), (0, bw - ww)), mode="edge")
+    true_hw = jnp.broadcast_to(jnp.asarray([wh, ww], jnp.int32), (b, 2))
+    return _detect_batch(gray, true_hw, max_kp, bh, bw)
+
+
 def detect_features(images: List[np.ndarray], n_features: int,
                     resol_mpx: float) -> tuple[F.Features, float]:
     """Batched feature extraction; frames may differ in size.
@@ -75,37 +95,56 @@ def detect_features(images: List[np.ndarray], n_features: int,
     bh, bw = bucket_shape(max(hw[0] for hw in work_hw),
                           max(hw[1] for hw in work_hw))
 
-    grays = []
-    for img, (wh, ww) in zip(images, work_hw):
-        h, w = img.shape[:2]
-        g = bgr_to_gray(jnp.asarray(img.astype(np.float32)))
-        if (wh, ww) != (h, w):
-            g = resize_area(g, wh, ww)
-        # edge-replicate pad: no fake gradients at the pad frontier
-        g = jnp.pad(g, ((0, bh - wh), (0, bw - ww)), mode="edge")
-        grays.append(g)
-    true_hw = jnp.asarray(work_hw, jnp.int32)
-    n = len(grays)
-    if n <= _DETECT_CHUNK:
-        feats = _detect_batch(jnp.stack(grays), true_hw, n_features,
-                              bh, bw)
-    else:
-        # chunk the frame axis: a 200-frame sortie in ONE program needs
-        # ~10 GB of scale-space intermediates and a compile the remote
-        # helper rejects; fixed-size chunks reuse one compiled program
+    n = len(images)
+    same_size = (len({im.shape[:2] for im in images}) == 1
+                 and images[0].ndim == 3 and images[0].shape[2] == 3
+                 and images[0].dtype == np.uint8)
+    if same_size:
+        # fast path: uint8 transfer + fused gray/resize/pad/detect, chunked
+        # (a 200-frame sortie in ONE program needs ~10 GB of scale-space
+        # intermediates and is rejected by the TPU compile helper)
+        wh, ww = work_hw[0]
         outs = []
         for c0 in range(0, n, _DETECT_CHUNK):
-            chunk = grays[c0:c0 + _DETECT_CHUNK]
-            thw = true_hw[c0:c0 + _DETECT_CHUNK]
+            chunk = images[c0:c0 + _DETECT_CHUNK]
             take = len(chunk)
-            if take < _DETECT_CHUNK:  # pad to reuse the compiled shape
-                chunk = chunk + [chunk[-1]] * (_DETECT_CHUNK - take)
-                thw = jnp.concatenate(
-                    [thw, jnp.tile(thw[-1:], (_DETECT_CHUNK - take, 1))])
-            fc = _detect_batch(jnp.stack(chunk), thw, n_features, bh, bw)
+            if take < _DETECT_CHUNK < n:  # pad to reuse the compiled shape
+                chunk = list(chunk) + [chunk[-1]] * (_DETECT_CHUNK - take)
+            fc = _detect_batch_u8(jnp.asarray(np.stack(chunk)), n_features,
+                                  wh, ww, bh, bw)
             outs.append(jax.tree_util.tree_map(lambda a: a[:take], fc))
-        feats = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs), *outs)
+        feats = (outs[0] if len(outs) == 1 else jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *outs))
+    else:
+        grays = []
+        for img, (wh, ww) in zip(images, work_hw):
+            h, w = img.shape[:2]
+            g = bgr_to_gray(jnp.asarray(img.astype(np.float32)))
+            if (wh, ww) != (h, w):
+                g = resize_area(g, wh, ww)
+            # edge-replicate pad: no fake gradients at the pad frontier
+            g = jnp.pad(g, ((0, bh - wh), (0, bw - ww)), mode="edge")
+            grays.append(g)
+        true_hw = jnp.asarray(work_hw, jnp.int32)
+        if n <= _DETECT_CHUNK:
+            feats = _detect_batch(jnp.stack(grays), true_hw, n_features,
+                                  bh, bw)
+        else:
+            outs = []
+            for c0 in range(0, n, _DETECT_CHUNK):
+                chunk = grays[c0:c0 + _DETECT_CHUNK]
+                thw = true_hw[c0:c0 + _DETECT_CHUNK]
+                take = len(chunk)
+                if take < _DETECT_CHUNK:
+                    chunk = chunk + [chunk[-1]] * (_DETECT_CHUNK - take)
+                    thw = jnp.concatenate(
+                        [thw,
+                         jnp.tile(thw[-1:], (_DETECT_CHUNK - take, 1))])
+                fc = _detect_batch(jnp.stack(chunk), thw, n_features,
+                                   bh, bw)
+                outs.append(jax.tree_util.tree_map(lambda a: a[:take], fc))
+            feats = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs), *outs)
     # back to full-res coordinates with EXACT per-axis scales (the rounded
     # work size makes the effective scale differ from the nominal one by
     # ~1e-3 — a pixel of systematic drift across a frame if ignored); the

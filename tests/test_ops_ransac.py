@@ -100,3 +100,43 @@ def test_ransac_jits_and_vmaps():
     vres = jax.vmap(lambda s, d, g, k: ransac.ransac(s, d, g, k, "affine"))(
         bs, bd, bg, keys)
     assert bool(vres.ok.all())
+
+
+def test_bundle_adjust_rejects_poisoned_edge():
+    """A falsely-verified pair model (coherent wrong offset, plausible
+    inlier count) must not drag the solution: the IRLS edge weights cut
+    it by ~(rms/tau)^-2 (periodic texture locks RANSAC onto such offsets
+    in real sorties)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from drone_image_stitch_cpp_tpu.pipeline.bundle import (
+        bundle_adjust_similarity_jit, params_from_affine)
+
+    r = np.random.default_rng(0)
+    n, k = 6, 120
+    pairs = [(i, i + 1) for i in range(5)] + [(0, 4)]
+    pts_a, pts_b, w = [], [], []
+    for (i, j) in pairs[:5]:
+        p_i = np.stack([r.uniform(1000, 3800, k), r.uniform(0, 2000, k)],
+                       -1)
+        pts_a.append(p_i)
+        pts_b.append(p_i - [1000.0, 0.0])
+        w.append(np.ones(k))
+    # poisoned edge (0, 4): claims tx 1500 instead of the true 4000
+    p_i = np.stack([r.uniform(2000, 3800, k), r.uniform(0, 2000, k)], -1)
+    pts_a.append(p_i)
+    pts_b.append(p_i - [1500.0, 0.0])
+    w.append(np.ones(k))
+
+    init = np.zeros((n, 2, 3), np.float32)
+    for i in range(n):
+        init[i] = [[1, 0, 1000.0 * i], [0, 1, 0]]
+    out = np.asarray(bundle_adjust_similarity_jit(
+        jnp.asarray(np.asarray(pairs, np.int32)),
+        jnp.asarray(np.stack(pts_a), jnp.float32),
+        jnp.asarray(np.stack(pts_b), jnp.float32),
+        jnp.asarray(np.stack(w), jnp.float32),
+        params_from_affine(jnp.asarray(init))))
+    tx = out[:, 0, 2]
+    assert np.abs(tx - 1000.0 * np.arange(6)).max() < 5.0, tx
