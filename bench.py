@@ -194,12 +194,14 @@ def bench_opencv(frames):
                                (FRAME_W, FRAME_H))
 
     one_pass()  # warmup
-    t0 = time.perf_counter()
-    one_pass()
-    dt = time.perf_counter() - t0
-    fps = N_FRAMES / dt
-    log(f"opencv cpu: {dt*1000:.1f} ms/batch -> {fps:.2f} frames/s "
-        f"({os.cpu_count()} cores)")
+    best = float("inf")
+    for _ in range(3):  # best-of-3: large run-to-run variance on this host
+        t0 = time.perf_counter()
+        one_pass()
+        best = min(best, time.perf_counter() - t0)
+    fps = N_FRAMES / best
+    log(f"opencv cpu: {best*1000:.1f} ms/batch (best of 3) -> "
+        f"{fps:.2f} frames/s ({os.cpu_count()} cores)")
     return fps
 
 

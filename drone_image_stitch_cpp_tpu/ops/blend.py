@@ -140,9 +140,11 @@ def pyramid_bytes(canvas_h: int, canvas_w: int, bands: int) -> int:
     return total
 
 
-# canvases above this pyramid footprint stream through tiles (v5e HBM is
-# 16 GB; leave room for the source frames and compiler scratch)
-TILED_THRESHOLD_BYTES = 4 << 30
+# canvases above this pyramid footprint stream through tiles (bounds HBM
+# AND keeps compile counts down: tiles have ONE fixed shape, while every
+# distinct whole-canvas pyramid shape costs a fresh feed/blend compile —
+# minutes each over the remote-TPU relay, once per strip)
+TILED_THRESHOLD_BYTES = 512 << 20
 TILE = 4096
 MAX_TILED_BANDS = 8  # halo is 8*2^bands: bands>8 would need multi-km halos
 
@@ -153,25 +155,33 @@ def mb_tile_grid(canvas_h: int, canvas_w: int, bands: int,
 
     Returns (tiles, halo): each tile is (core_y0, core_y1, core_x0,
     core_x1, ext_y0, ext_y1, ext_x0, ext_x1) — the core region is emitted
-    to the output; the ext(ended) region (core + halo, clipped, aligned to
-    the 2^bands grid) is what the tile's canvas pyramid covers. The
-    Laplacian pyramid's filters have compact support (~4*2^bands px at the
-    coarsest level), so frames beyond the halo contribute nothing to the
-    core: tiling is exact, not an approximation.
+    to the output; the ext(ended) region (core + halo) is what the tile's
+    canvas pyramid covers. The Laplacian pyramid's filters have compact
+    support (~4*2^bands px at the coarsest level), so frames beyond the
+    halo contribute nothing to the core: tiling is exact, not an
+    approximation.
+
+    Ext windows have a FIXED size per canvas (shifted, like the SIFT
+    kernel's patch windows, rather than clipped at canvas edges): every
+    tile of every strip/mosaic then reuses one compiled feed/blend
+    program.
     """
     g = 1 << bands
     halo = 8 << bands
     tile = align_up(tile if tile is not None else TILE, g)
+    ch = align_up(canvas_h, g)
+    cw = align_up(canvas_w, g)
+    ext_h = min(tile + 2 * halo, ch)
+    ext_w = min(tile + 2 * halo, cw)
     tiles = []
     for cy0 in range(0, canvas_h, tile):
         cy1 = min(canvas_h, cy0 + tile)
         for cx0 in range(0, canvas_w, tile):
             cx1 = min(canvas_w, cx0 + tile)
-            ey0 = max(0, align_down(cy0 - halo, g))
-            ex0 = max(0, align_down(cx0 - halo, g))
-            ey1 = min(align_up(canvas_h, g), align_up(cy1 + halo, g))
-            ex1 = min(align_up(canvas_w, g), align_up(cx1 + halo, g))
-            tiles.append((cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1))
+            ey0 = min(max(0, align_down(cy0 - halo, g)), ch - ext_h)
+            ex0 = min(max(0, align_down(cx0 - halo, g)), cw - ext_w)
+            tiles.append((cy0, cy1, cx0, cx1, ey0, ey0 + ext_h,
+                          ex0, ex0 + ext_w))
     return tiles, halo
 
 

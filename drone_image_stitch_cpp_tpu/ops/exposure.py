@@ -16,6 +16,9 @@ solve itself is a jnp.linalg.solve.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 _ALPHA = 0.01
@@ -72,18 +75,30 @@ def gain_compensate_scalar(intens: jnp.ndarray, masks: jnp.ndarray,
     ``intens``: (N, H, W) shared-frame intensities; ``masks``: (N, H, W).
     Returns (N,) gains.
     """
+    # ONE vmapped program over all (i, j) pairs: the previous N^2 Python
+    # loop of .at[].set device calls paid quadratic dispatch overhead
+    # (~80 ms per call on the remote-TPU relay)
+    return solve_gains(*_pairwise_overlap_mats(intens, masks,
+                                               similarity_thresh))
+
+
+@functools.partial(jax.jit, static_argnames=("similarity_thresh",))
+def _pairwise_overlap_mats(intens: jnp.ndarray, masks: jnp.ndarray,
+                           similarity_thresh: float):
+    """(i_mat, n_mat) for all ordered pairs in one device program."""
     n = intens.shape[0]
-    i_mat = jnp.zeros((n, n), jnp.float32)
-    n_mat = jnp.zeros((n, n), jnp.float32)
-    for i in range(n):
-        for j in range(n):
-            if i == j:
-                continue
-            mi, _, cnt = overlap_stats(intens[i], intens[j], masks[i],
-                                       masks[j], similarity_thresh)
-            i_mat = i_mat.at[i, j].set(mi)
-            n_mat = n_mat.at[i, j].set(cnt.astype(jnp.float32))
-    return solve_gains(i_mat, n_mat)
+    idx = jnp.arange(n)
+    ii = jnp.repeat(idx, n)
+    jj = jnp.tile(idx, n)
+
+    def one(i, j):
+        mi, _, cnt = overlap_stats(intens[i], intens[j], masks[i],
+                                   masks[j], similarity_thresh)
+        return mi, cnt.astype(jnp.float32)
+
+    mi, cnt = jax.vmap(one)(ii, jj)
+    off_diag = 1.0 - jnp.eye(n, dtype=jnp.float32)
+    return (mi.reshape(n, n) * off_diag, cnt.reshape(n, n) * off_diag)
 
 
 def channels_compensate(images: jnp.ndarray, masks: jnp.ndarray,

@@ -388,7 +388,14 @@ def _stitch_sequential(images: List[np.ndarray], tuning: StitchTuning,
                                         tuning, f"{stage}/seq{i}")
                 done = True
                 break
-            except StripStitchError:
+            except StripStitchError as err:
+                # per-failure diagnostics (logPairDiagnostics analog,
+                # stitch_robust.cpp:319-325): the n==2 gate inside
+                # estimate_strip_transforms dumps kp/match/inlier counts;
+                # here we record which attempt failed and why
+                log.log(f"{stage}/seq{i}", "attempt failed",
+                        attempt=attempt, n_images=len(imgs),
+                        error=str(err))
                 continue
         if not done:
             raise StripStitchError(
