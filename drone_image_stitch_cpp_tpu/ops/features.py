@@ -664,7 +664,11 @@ def detect_and_describe_batched(grays: jnp.ndarray, max_kp: int,
     octs = jax.vmap(
         lambda im: build_scale_space(im, n_layers, n_oct, upsample))(grays)
 
-    per_oct = []
+    # phase 1: candidates + dense refinement per octave (descriptors NOT
+    # yet computed — selection happens first, so the kernel only ever
+    # describes the surviving max_kp keypoints per frame, roughly half
+    # the candidate count, in ONE launch instead of one per octave)
+    cand_fields = []     # per octave: (yf, xf, resp, ok, li, sig)
     for o, (g, dog) in enumerate(octs):
         # g: (B, S, Ho, Wo); dog: (B, S-1, Ho, Wo)
         k_oct = max(max_kp >> o, min(128, max_kp))
@@ -685,25 +689,69 @@ def detect_and_describe_batched(grays: jnp.ndarray, max_kp: int,
         ok = ok & cvalid
         sig_loc = _SIGMA0 * 2.0 ** (lf / n_layers)
         li = jnp.clip(jnp.round(lf).astype(jnp.int32), 1, n_layers)
+        cand_fields.append((yf, xf, resp, ok, li, sig_loc))
 
-        # pad the octave stack to the kernel's DMA grid (edge mode: flat
-        # pad content -> zero gradients, like an image-bounds check)
+    n_layers_tot = n_layers + 3
+    yf = jnp.concatenate([c[0] for c in cand_fields], axis=1)
+    xf = jnp.concatenate([c[1] for c in cand_fields], axis=1)
+    resp = jnp.concatenate([c[2] for c in cand_fields], axis=1)
+    ok = jnp.concatenate([c[3] for c in cand_fields], axis=1)
+    li = jnp.concatenate([c[4] for c in cand_fields], axis=1)
+    sig = jnp.concatenate([c[5] for c in cand_fields], axis=1)
+    oct_id = jnp.concatenate([
+        jnp.full((b, c[0].shape[1]), o, jnp.int32)
+        for o, c in enumerate(cand_fields)], axis=1)
+
+    # phase 2: per-frame top-k selection by refined response
+    score = jnp.where(ok, resp, -1.0)
+    k_sel = min(max_kp, score.shape[1])
+    top, idx = jax.lax.top_k(score, k_sel)              # (B, k_sel)
+
+    def takei(a):
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    yf_s, xf_s, resp_s, sig_s = takei(yf), takei(xf), takei(resp), takei(sig)
+    li_s, oct_s = takei(li), takei(oct_id)
+    valid_s = takei(ok) & (top > 0.0)
+
+    # phase 3: ONE fused kernel launch over the selected keypoints.
+    # All octave stacks pad (edge mode: flat content -> zero gradients)
+    # to octave 0's aligned dims so one flat (B*NO*S, H, W) array serves
+    # every keypoint; flat index = (b*NO + octave)*S + layer.
+    h0p = max(PS.PR, -(-octs[0][0].shape[2] // 8) * 8)
+    w0p = max(PS.PC, -(-octs[0][0].shape[3] // 128) * 128)
+    gps = []
+    for (g, _) in octs:
         ho, wo = g.shape[2], g.shape[3]
-        ph = max(PS.PR, -(-ho // 8) * 8)
-        pw = max(PS.PC, -(-wo // 128) * 128)
-        gp = g if (ph, pw) == (ho, wo) else jnp.pad(
-            g, ((0, 0), (0, 0), (0, ph - ho), (0, pw - wo)), mode="edge")
-        ang, desc = PS.orientation_descriptor(gp, li, yf, xf, sig_loc,
-                                              interpret=interpret)
+        gps.append(jnp.pad(
+            g, ((0, 0), (0, 0), (0, h0p - ho), (0, w0p - wo)),
+            mode="edge") if (h0p, w0p) != (ho, wo) else g)
+    gauss_flat = jnp.stack(gps, axis=1).reshape(
+        b * n_oct * n_layers_tot, h0p, w0p)
+    frame = jnp.arange(b, dtype=jnp.int32)[:, None]
+    flat_layer = (frame * n_oct + oct_s) * n_layers_tot + li_s
+    # gradient bounds per keypoint = its octave's own-aligned dims (the
+    # pre-selection path padded each octave only to its own (8,128) grid;
+    # matching that keeps edge-keypoint descriptors identical)
+    own_h = jnp.asarray([max(PS.PR, -(-g.shape[2] // 8) * 8)
+                         for g, _ in octs], jnp.float32)
+    own_w = jnp.asarray([max(PS.PC, -(-g.shape[3] // 128) * 128)
+                         for g, _ in octs], jnp.float32)
+    ang_s, desc_s = PS.orientation_descriptor_flat(
+        gauss_flat, flat_layer, yf_s, xf_s, sig_s,
+        true_hw=(own_h[oct_s], own_w[oct_s]), interpret=interpret)
 
-        xy = jnp.stack([xf, yf], axis=-1) * mult_o
-        per_oct.append((xy, sig_loc * mult_o, ang, resp, desc, ok))
-
-    xy = jnp.concatenate([p[0] for p in per_oct], axis=1)
-    sigma = jnp.concatenate([p[1] for p in per_oct], axis=1)
-    ang = jnp.concatenate([p[2] for p in per_oct], axis=1)
-    resp = jnp.concatenate([p[3] for p in per_oct], axis=1)
-    desc = jnp.concatenate([p[4] for p in per_oct], axis=1)
-    ok = jnp.concatenate([p[5] for p in per_oct], axis=1)
-    return jax.vmap(lambda *a: _select_top(*a, max_kp))(
-        xy, sigma, ang, resp, desc, ok)
+    mult = scale0 * (2.0 ** oct_s.astype(jnp.float32))
+    xy_s = jnp.stack([xf_s, yf_s], axis=-1) * mult[..., None]
+    feats = Features(xy=xy_s, sigma=sig_s * mult, angle=ang_s,
+                     response=resp_s, desc=desc_s, valid=valid_s)
+    if k_sel < max_kp:
+        pad = max_kp - k_sel
+        feats = Features(
+            xy=jnp.pad(feats.xy, ((0, 0), (0, pad), (0, 0))),
+            sigma=jnp.pad(feats.sigma, ((0, 0), (0, pad))),
+            angle=jnp.pad(feats.angle, ((0, 0), (0, pad))),
+            response=jnp.pad(feats.response, ((0, 0), (0, pad))),
+            desc=jnp.pad(feats.desc, ((0, 0), (0, pad), (0, 0))),
+            valid=jnp.pad(feats.valid, ((0, 0), (0, pad))))
+    return feats

@@ -103,11 +103,11 @@ def _kernel(starts_ref, fparams_ref, src_hbm, desc_ref, meta_ref,
         yf = fparams_ref[0, k]
         xf = fparams_ref[1, k]
         scale = fparams_ref[2, k]
-        # bounds = the (aligned) stored image dims, matching features.py which
-        # computes gradients over whatever the octave array holds (incl. any
-        # edge-replicated bucket pad). Static shapes: no SMEM traffic.
-        h_img = float(src_hbm.shape[1])
-        w_img = float(src_hbm.shape[2])
+        # per-keypoint gradient bounds: the indexed image's (aligned) true
+        # dims — images of different sizes (octaves) share one flat padded
+        # stack, and taps beyond an image's own extent must not contribute
+        h_img = fparams_ref[3, k]
+        w_img = fparams_ref[4, k]
 
         # re-center: window lane j holds source column x0 + sh + j
         xi = jnp.round(xf).astype(jnp.int32)
@@ -265,6 +265,50 @@ def _run(gauss_flat, starts, fparams, interpret=False):
     return desc[:k], meta[:k, 0]
 
 
+def orientation_descriptor_flat(gauss_flat: jnp.ndarray,
+                                flat_layer: jnp.ndarray,
+                                yf: jnp.ndarray, xf: jnp.ndarray,
+                                sigma: jnp.ndarray,
+                                true_hw=None,
+                                interpret: bool = False):
+    """Fused orientation+descriptor over a FLAT stack of images.
+
+    ``gauss_flat``: (L, H, W) — any mix of frames/octaves padded to one
+    (8-, 128-aligned) shape; ``flat_layer``: (..., K) int32 index into L
+    per keypoint; ``yf``/``xf``/``sigma`` same leading shape, in the
+    indexed image's pixels. Lets the caller select keypoints ACROSS
+    octaves first and run ONE kernel launch for the survivors (half the
+    kernel work of describing every candidate, one compile instead of one
+    per octave).
+
+    Returns (angle (..., K), desc (..., K, 128)).
+    """
+    lead = flat_layer.shape[:-1]
+    kk = flat_layer.shape[-1]
+    l_, h_, w_ = gauss_flat.shape
+    assert h_ % 8 == 0 and w_ % 128 == 0, (h_, w_)
+    assert h_ >= PR and w_ >= PC, (h_, w_)
+
+    yfl = yf.reshape(-1)
+    xfl = xf.reshape(-1)
+    yi = jnp.round(yfl).astype(jnp.int32)
+    xi = jnp.round(xfl).astype(jnp.int32)
+    y0 = jnp.clip((yi - ROW_OFF) & ~7, 0, h_ - PR)
+    x0 = jnp.clip((xi - CTR) & ~127, 0, w_ - PC)
+    starts = jnp.stack([jnp.clip(flat_layer.reshape(-1), 0, l_ - 1),
+                        y0, x0], axis=0).astype(jnp.int32)
+    if true_hw is None:
+        th = jnp.full_like(yfl, float(h_))
+        tw = jnp.full_like(yfl, float(w_))
+    else:
+        th = true_hw[0].reshape(-1).astype(jnp.float32)
+        tw = true_hw[1].reshape(-1).astype(jnp.float32)
+    fparams = jnp.stack([yfl, xfl, sigma.reshape(-1), th, tw],
+                        axis=0).astype(jnp.float32)
+    desc, angle = _run(gauss_flat, starts, fparams, interpret=interpret)
+    return angle.reshape(lead + (kk,)), desc.reshape(lead + (kk, 128))
+
+
 def orientation_descriptor(gauss: jnp.ndarray, li: jnp.ndarray,
                            yf: jnp.ndarray, xf: jnp.ndarray,
                            sigma: jnp.ndarray,
@@ -300,8 +344,11 @@ def orientation_descriptor(gauss: jnp.ndarray, li: jnp.ndarray,
     starts = jnp.stack([flat_layer.reshape(-1), y0.reshape(-1),
                         x0.reshape(-1)], axis=0).astype(jnp.int32)
 
-    fparams = jnp.stack([yf.reshape(-1), xf.reshape(-1),
-                         sigma.reshape(-1)], axis=0).astype(jnp.float32)
+    bk = yf.reshape(-1).shape[0]
+    fparams = jnp.stack([yf.reshape(-1), xf.reshape(-1), sigma.reshape(-1),
+                         jnp.full((bk,), float(h_), jnp.float32),
+                         jnp.full((bk,), float(w_), jnp.float32)],
+                        axis=0).astype(jnp.float32)
 
     desc, angle = _run(gauss.reshape(b_ * s_, h_, w_), starts, fparams,
                        interpret=interpret)
