@@ -75,30 +75,47 @@ def gain_compensate_scalar(intens: jnp.ndarray, masks: jnp.ndarray,
     ``intens``: (N, H, W) shared-frame intensities; ``masks``: (N, H, W).
     Returns (N,) gains.
     """
-    # ONE vmapped program over all (i, j) pairs: the previous N^2 Python
-    # loop of .at[].set device calls paid quadratic dispatch overhead
-    # (~80 ms per call on the remote-TPU relay)
-    return solve_gains(*_pairwise_overlap_mats(intens, masks,
-                                               similarity_thresh))
+    # batched pair programs: the previous N^2 Python loop of .at[].set
+    # device calls paid quadratic dispatch overhead (~80 ms each on the
+    # remote-TPU relay); chunking bounds the vmapped gather memory — all
+    # N^2 pairs at once materializes (P, H, W) copies (~11 GB for 13
+    # seam-scale strips) and OOMs the chip
+    import numpy as np
+
+    n = intens.shape[0]
+    idx = np.arange(n)
+    ii = np.repeat(idx, n)
+    jj = np.tile(idx, n)
+    chunk = _EXPOSURE_PAIR_CHUNK
+    p = len(ii)
+    pad = (-p) % chunk
+    if pad:
+        ii = np.concatenate([ii, np.zeros(pad, np.int64)])
+        jj = np.concatenate([jj, np.zeros(pad, np.int64)])
+    mi_parts, cnt_parts = [], []
+    for c0 in range(0, len(ii), chunk):
+        mi_c, cnt_c = _pair_stats_chunk(
+            intens, masks, jnp.asarray(ii[c0:c0 + chunk]),
+            jnp.asarray(jj[c0:c0 + chunk]), similarity_thresh)
+        mi_parts.append(mi_c)
+        cnt_parts.append(cnt_c)
+    mi = jnp.concatenate(mi_parts)[:p].reshape(n, n)
+    cnt = jnp.concatenate(cnt_parts)[:p].reshape(n, n)
+    off_diag = 1.0 - jnp.eye(n, dtype=jnp.float32)
+    return solve_gains(mi * off_diag, cnt * off_diag)
+
+
+_EXPOSURE_PAIR_CHUNK = 8
 
 
 @functools.partial(jax.jit, static_argnames=("similarity_thresh",))
-def _pairwise_overlap_mats(intens: jnp.ndarray, masks: jnp.ndarray,
-                           similarity_thresh: float):
-    """(i_mat, n_mat) for all ordered pairs in one device program."""
-    n = intens.shape[0]
-    idx = jnp.arange(n)
-    ii = jnp.repeat(idx, n)
-    jj = jnp.tile(idx, n)
-
+def _pair_stats_chunk(intens, masks, ii, jj, similarity_thresh: float):
     def one(i, j):
         mi, _, cnt = overlap_stats(intens[i], intens[j], masks[i],
                                    masks[j], similarity_thresh)
         return mi, cnt.astype(jnp.float32)
 
-    mi, cnt = jax.vmap(one)(ii, jj)
-    off_diag = 1.0 - jnp.eye(n, dtype=jnp.float32)
-    return (mi.reshape(n, n) * off_diag, cnt.reshape(n, n) * off_diag)
+    return jax.vmap(one)(ii, jj)
 
 
 def channels_compensate(images: jnp.ndarray, masks: jnp.ndarray,

@@ -76,12 +76,32 @@ def _scan(folder: str, exts) -> List[str]:
     return [os.path.join(folder, n) for n in names]
 
 
+def _decode_all(paths: List[str]) -> List[Optional[np.ndarray]]:
+    """Parallel decode preserving per-file failures as None entries.
+
+    Pipeline-parallel ingest: the native libjpeg pool (native/decode.cpp)
+    decodes a pure-JPEG folder on host threads; otherwise a thread pool of
+    per-file decodes (cv2/PIL release the GIL). Per-file failure keeps the
+    reference's skip-unreadable semantics (image_loader.cpp:52-59).
+    """
+    import concurrent.futures as cf
+    import os
+
+    from ..utils.native import decode_batch_native
+
+    n_threads = min(8, (os.cpu_count() or 1) * 2)
+    out = decode_batch_native(list(paths), n_threads=n_threads)
+    if out is not None:
+        return out
+    with cf.ThreadPoolExecutor(max_workers=n_threads) as ex:
+        return list(ex.map(_decode_bgr, paths))
+
+
 def load(folder: str) -> List[np.ndarray]:
     """Reference ImageLoader::load: >= 2 usable images required."""
     paths = _scan(folder, _EXTS_LOAD)
     images = []
-    for p in paths:
-        img = _decode_bgr(p)
+    for p, img in zip(paths, _decode_all(paths)):
         if img is None:
             print(f"[Loader] skipping unreadable file: {p}")
             continue
@@ -96,8 +116,7 @@ def load_with_ids(folder: str) -> LoadedImages:
     """Reference ImageLoader::loadWithIds: >= 1 usable image required."""
     paths = _scan(folder, _EXTS_LOAD_IDS)
     images, ids, kept = [], [], []
-    for p in paths:
-        img = _decode_bgr(p)
+    for p, img in zip(paths, _decode_all(paths)):
         if img is None:
             print(f"[Loader] skipping unreadable file: {p}")
             continue

@@ -11,11 +11,49 @@ from __future__ import annotations
 import numpy as np
 
 
+def fractal_ortho(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """Aperiodic multi-octave value-noise 'terrain' ortho (uint8-range f32).
+
+    For LARGE sorties use this instead of ``synthetic_ortho``: the latter's
+    sin/cos base has a constant phase across the whole image, so a big
+    ortho contains near-identical texture every ~230 px and matchers can
+    lock onto coherent WRONG offsets with inlier counts that pass every
+    confidence gate (observed as false strip-pair models on the 200-frame
+    sortie). Real aerial imagery — and this generator — has no such
+    global periodicity.
+    """
+    import cv2
+
+    r = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3), np.float32)
+    for cell in (512, 128, 32, 8):
+        gh = -(-h // cell) + 1
+        gw = -(-w // cell) + 1
+        amp = 90.0 * (cell / 512.0) ** 0.6
+        grid = r.normal(0, 1.0, (gh, gw, 3)).astype(np.float32)
+        up = cv2.resize(grid, (gw * cell, gh * cell),
+                        interpolation=cv2.INTER_CUBIC)[:h, :w]
+        img += amp * up
+    img = 118.0 + img * 0.55
+    # sharp man-made-ish rectangles: strong corners at SIFT scales
+    for _ in range(max(600, h * w // 1300)):
+        cy, cx = int(r.integers(0, h)), int(r.integers(0, w))
+        rh_, rw_ = int(r.integers(3, 16)), int(r.integers(3, 16))
+        col = r.uniform(0, 255, 3).astype(np.float32)
+        y0, y1 = max(0, cy - rh_), min(h, cy + rh_)
+        x0, x1 = max(0, cx - rw_), min(w, cx + rw_)
+        img[y0:y1, x0:x1] = 0.35 * img[y0:y1, x0:x1] + 0.65 * col
+    img += r.normal(0, 3.0, (h, w, 3)).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
 def synthetic_ortho(h=768, w=1024, seed=0):
     """A textured 'ground truth ortho' image with structure at many scales.
 
     Used to render synthetic sorties: crops of this image related by known
-    transforms give exact expected registration results.
+    transforms give exact expected registration results. NOTE: the sin/cos
+    base is globally periodic (~230 px) — fine at test sizes, but use
+    ``fractal_ortho`` for sorties larger than a few frames per axis.
     """
     r = np.random.default_rng(seed)
     img = np.zeros((h, w, 3), np.float32)
