@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import match as M
 from ..ops import ransac as R
@@ -129,7 +129,7 @@ def build_sortie_step(mesh: Mesh, n_frames: int, h: int, w: int,
         step, mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def run(frames: jnp.ndarray, keys: jnp.ndarray):

@@ -358,46 +358,89 @@ def stitch_strip(images: List[np.ndarray],
         # (stitch_robust.cpp:366-375); use_anchor_fallback only gates the
         # anchor-batch attempt inside it (:297)
     log.log(stage, "falling back to sequential stitch")
-    return _stitch_sequential(images, tuning, stage, seed)
+    return _stitch_sequential(images, tuning, stage, seed,
+                              range_width_override)
+
+
+def _pair_diagnostics_dump(left: np.ndarray, right: np.ndarray,
+                           tuning: StitchTuning, stage: str,
+                           idx: int) -> None:
+    """Post-failure diagnostics on a bare pair (logPairDiagnostics analog,
+    reference: stitch_robust.cpp:144-172,319-325): SIFT -> knn2(0.75) ->
+    homography RANSAC(3.0), with kp counts for BOTH sides dumped."""
+    from ..ops import ransac as R
+
+    log = get_logger()
+    try:
+        feats, scale = detect_features([left, right], tuning.sift_features,
+                                       tuning.registration_resol_mpx)
+        m = M.knn2_ratio(feats.desc[0], feats.valid[0], feats.desc[1],
+                         feats.valid[1], _LOWE_RATIO)
+        src, dst, good = M.gather_correspondences(feats.xy[0], feats.xy[1],
+                                                  m)
+        ng = int(np.asarray(jnp.sum(good)))
+        res = R.find_homography(src, dst, good, jax.random.PRNGKey(idx),
+                                thresh=3.0 / max(scale, 1e-6))
+        ni = int(res.n_inliers)
+        okh = bool(res.ok)
+        log.log(stage, "failure diagnostics", idx=idx,
+                left=f"{left.shape}", right=f"{right.shape}",
+                kp_left=int(np.asarray(feats.valid[0]).sum()),
+                kp_right=int(np.asarray(feats.valid[1]).sum()),
+                good_matches=f"{ng}(min={tuning.min_good_matches})",
+                model=("failed" if not okh else
+                       f"inliers/good_matches={ni}/{ng}"
+                       f"(min={tuning.min_inliers})"))
+    except Exception as diag_err:  # diagnostics must never mask the error
+        log.log(stage, "failure diagnostics unavailable",
+                error=str(diag_err))
 
 
 def _stitch_sequential(images: List[np.ndarray], tuning: StitchTuning,
-                       stage: str, seed: int) -> np.ndarray:
+                       stage: str, seed: int,
+                       range_width_override: Optional[int] = None
+                       ) -> np.ndarray:
     """Left-fold incremental stitch with a sliding anchor window.
 
-    Reference: stitchSequentially (stitch_robust.cpp:273-334): try an
-    anchor batch [current, anchors..., next] first, then the bare pair.
+    Reference: stitchSequentially (stitch_robust.cpp:273-334): anchors seed
+    with the FIRST image (:285); try an anchor batch
+    [current, anchors..., next] with local range width
+    max(2, min(len(batch), range_width)) (:305-310), then the bare pair;
+    on total step failure dump pair diagnostics for [current, next]
+    (:319-325) and abort.
     """
     from collections import deque
 
     log = get_logger()
     current = images[0]
-    anchors: deque = deque(maxlen=max(1, tuning.anchor_window))
+    anchors: deque = deque([images[0]], maxlen=max(1, tuning.anchor_window))
+    rw = (range_width_override if range_width_override
+          and range_width_override > 0 else tuning.range_width)
     for i in range(1, len(images)):
         batch = None
         if tuning.use_anchor_fallback and anchors:
             batch = [current, *list(anchors), images[i]]
         done = False
-        for attempt, imgs in enumerate(
-                ([batch] if batch else []) + [[current, images[i]]]):
+        attempts = ([batch] if batch else []) + [[current, images[i]]]
+        for attempt, imgs in enumerate(attempts):
+            local_rw = (max(2, min(len(imgs), rw)) if len(imgs) > 2
+                        else rw)
             try:
                 kept, transforms, _ = estimate_strip_transforms(
-                    imgs, tuning, range_width=len(imgs),
+                    imgs, tuning, range_width=local_rw,
                     stage=f"{stage}/seq{i}", seed=seed + i)
                 current = compose_strip([imgs[k] for k in kept], transforms,
                                         tuning, f"{stage}/seq{i}")
                 done = True
                 break
             except StripStitchError as err:
-                # per-failure diagnostics (logPairDiagnostics analog,
-                # stitch_robust.cpp:319-325): the n==2 gate inside
-                # estimate_strip_transforms dumps kp/match/inlier counts;
-                # here we record which attempt failed and why
                 log.log(f"{stage}/seq{i}", "attempt failed",
                         attempt=attempt, n_images=len(imgs),
                         error=str(err))
                 continue
         if not done:
+            _pair_diagnostics_dump(current, images[i], tuning,
+                                   f"{stage}/seq{i}", i)
             raise StripStitchError(
                 f"{stage}: sequential stitch failed at frame {i}")
         anchors.append(images[i])

@@ -87,6 +87,60 @@ def test_two_image_gates_in_strip_path(ortho):
         stitch_strip([a, b], _small_tuning(), stage="T")
 
 
+def test_anchor_fallback_schedule(ortho, monkeypatch):
+    """Anchor-batch fidelity (stitch_robust.cpp:285,297-312): anchors seed
+    with the FIRST image, and the batch registers with local range width
+    max(2, min(len(batch), range_width)) — NOT the full batch length."""
+    imgs, _, _ = render_sortie(ortho, 1, 4, frame_h=160, frame_w=208,
+                               overlap=0.5)
+    calls = []
+    state = {"joint_failed": False}
+    real = strip_mod.estimate_strip_transforms
+
+    def wrapper(images, tuning, range_width=None, *a, **kw):
+        if not state["joint_failed"]:
+            # first call = the joint all-image attempt: fail it so the
+            # sequential path runs
+            state["joint_failed"] = True
+            raise StripStitchError("forced joint failure (test)")
+        calls.append((len(images), range_width))
+        return real(images, tuning, range_width, *a, **kw)
+
+    monkeypatch.setattr(strip_mod, "estimate_strip_transforms", wrapper)
+    tuning = _small_tuning(use_anchor_fallback=True, anchor_window=2,
+                           range_width=2)
+    stitch_strip(imgs, tuning, stage="T", range_width_override=2)
+    # step 1: anchors=[img0] -> batch [current, img0, img1] of 3, local
+    # range width max(2, min(3, 2)) = 2; later steps grow to the window cap
+    batch_calls = [c for c in calls if c[0] > 2]
+    assert batch_calls, calls
+    for n_imgs, rw in batch_calls:
+        assert rw == max(2, min(n_imgs, 2)), (n_imgs, rw, calls)
+    assert batch_calls[0][0] == 3, calls  # first-image anchor seeding
+
+
+def test_sequential_failure_dumps_pair_diagnostics(ortho):
+    """After the sequential ladder fails a step, pair diagnostics for
+    [current, next] are dumped with kp counts for BOTH sides
+    (stitch_robust.cpp:319-325)."""
+    from drone_image_stitch_cpp_tpu.runtime.logging import get_logger
+
+    a = ortho[0:160, 0:208].astype(np.uint8)
+    b = ortho[400:560, 600:808].astype(np.uint8)
+    log = get_logger()
+    n0 = len(log._records)
+    with pytest.raises(StripStitchError, match="sequential stitch failed"):
+        stitch_strip([a, b], _small_tuning(), stage="T")
+    recs = [r for r in log._records[n0:]
+            if r["msg"] == "failure diagnostics"
+            and r["stage"].startswith("T/seq")]
+    assert recs, "no sequential-stage diagnostics dump"
+    rec = recs[-1]
+    for fieldname in ("kp_left", "kp_right", "good_matches", "model",
+                      "left", "right"):
+        assert fieldname in rec, rec
+
+
 def test_compositing_resol_scales_output(ortho):
     """compositing_resol_mpx > 0 composes at the reduced resolution
     (setCompositingResol analog, stitch_robust.cpp:185)."""
