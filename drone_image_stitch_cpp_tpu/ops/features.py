@@ -540,6 +540,39 @@ def _descriptor_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
     return jnp.minimum(desc / nrm2 * _DESC_SCALE, 255.0)
 
 
+def mirror_features(feats: Features, width) -> Features:
+    """Exact horizontal-flip transport of a feature set.
+
+    Replaces re-detecting SIFT on the flipped image for the reversed-strip
+    hypothesis (reference: stitch_global.cpp:401-421 re-runs the whole
+    estimator on cv::flip'd strips): with our own descriptor layout the
+    flipped image's features are a closed-form permutation of the
+    original's. Derivation (horizontal flip x' = w-1-x):
+      * gradients: gx' = -gx, gy' = gy, so theta' = pi - theta and the
+        dominant orientation maps angle' = pi - angle (the 36-bin histogram
+        mirrors exactly; smoothing and parabolic peak refine are symmetric);
+      * descriptor frame: u' = u, v' = -v, obin' = -obin (mod 8), so
+        desc'[by, bx, ob] = desc[D-1-by, bx, (8-ob) % 8] on the
+        (row=4, col=4, ori=8) bin grid;
+      * the DoG stacks/extrema/refinement are flip-equivariant (symmetric
+        kernels), so the keypoint set maps to (w-1-x, y) with identical
+        sigma/response.
+    ``width`` is the true image width in the same (full-res) coordinate
+    space as ``feats.xy``. Works for any leading batch dims.
+    """
+    xy = jnp.stack([jnp.asarray(width, jnp.float32) - 1.0
+                    - feats.xy[..., 0], feats.xy[..., 1]], axis=-1)
+    angle = jnp.mod(jnp.pi - feats.angle, 2.0 * jnp.pi)
+    lead = feats.desc.shape[:-1]
+    d = feats.desc.reshape(*lead, _DESC_D, _DESC_D, _DESC_BINS)
+    d = d[..., ::-1, :, :]                                   # by -> D-1-by
+    d = jnp.concatenate([d[..., :1], d[..., 1:][..., ::-1]],
+                        axis=-1)                             # ob -> -ob mod 8
+    return feats._replace(xy=xy, angle=angle,
+                          desc=d.reshape(*lead, _DESC_D * _DESC_D
+                                         * _DESC_BINS))
+
+
 # --------------------------------------------------------------------------
 # top-level detect + describe
 # --------------------------------------------------------------------------

@@ -57,6 +57,20 @@ def knn2_ratio(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     ``ratio`` may be a traced scalar (the adaptive per-modality ratio).
     """
     d2 = distance_sq(desc_a, desc_b, valid_a, valid_b)
+    return knn2_ratio_from_d2(d2, valid_a, valid_b, ratio)
+
+
+def knn2_ratio_from_d2(d2: jnp.ndarray, valid_a: jnp.ndarray,
+                       valid_b: jnp.ndarray,
+                       ratio: float | jnp.ndarray) -> Matches:
+    """kNN(k=2) + ratio test on a PRECOMPUTED distance matrix.
+
+    Lets a bank of ROI-mask hypotheses share one MXU distance matmul: the
+    (Ka, Kb) matrix is computed once, and each hypothesis applies its own
+    validity masks before the top-2 reduction (XLA fuses the mask into the
+    reduction, so the masked copies are never materialized).
+    """
+    d2 = jnp.where(valid_a[:, None] & valid_b[None, :], d2, _BIG)
     best = jnp.min(d2, axis=1)
     bidx = jnp.argmin(d2, axis=1).astype(jnp.int32)
     masked = jnp.where(

@@ -27,18 +27,19 @@ Capability parity: stitchInterStripsCustom (reference: stitch_global.cpp:
       (:632-666);
   (j) wall-clock stage timing (:390, :667-670).
 
-TPU-first structure: alignment hypotheses (direct + flipped, then ROI
-pairs) are independent jitted estimates scored on device; all radiometric /
-seam work happens once on a <=8 MP seam-scale canvas; full resolution is
-touched only by streamed ROI warps feeding the shared canvas pyramid.
+TPU-first structure: the whole (direct + flipped) x ROI hypothesis grid is
+one banked device launch + one host fetch per strip pair (pipeline/
+roi_align.py; the flip variant is a closed-form feature permutation, not a
+re-detect); all radiometric / seam work happens once on a <=8 MP seam-scale
+canvas; full resolution is touched only by streamed ROI warps feeding the
+shared canvas pyramid.
 """
 
 from __future__ import annotations
 
 import math
 import time
-from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,8 +48,7 @@ import numpy as np
 from ..config.tuning import StitchTuning
 from ..ops import blend as B
 from ..ops import exposure as E
-from ..ops import match as M
-from ..ops import ransac as R
+from ..ops import features as F
 from ..ops import seam as S
 from ..ops.color import bgr_to_gray, nonblack_mask
 from ..ops.gaussian import gaussian_blur
@@ -58,9 +58,9 @@ from ..ops.warp import warp_affine, warp_content_mask
 from ..ops.pallas_warp import warp_affine as fast_warp
 from ..runtime.logging import get_logger
 from .registration import detect_features
+from .roi_align import PairAffineEstimate, align_pair_banked
 
 _MAX_ALIGN_DIM = 2800       # reference :119
-_ROI_MIN_WIDTH = 120        # reference :226-259
 _SEAM_CANVAS_MP = 8.0       # reference :585
 _GAIN_CLAMP = (0.8, 1.25)   # reference :497-549
 _GAIN_MIN_OVERLAP = 1000    # full-res valid-px inheritance threshold (:529)
@@ -69,21 +69,6 @@ _SOFT_MASK_SIGMA = 10.0     # reference :345
 
 class GlobalStitchError(RuntimeError):
     pass
-
-
-@dataclass
-class PairAffineEstimate:
-    """Reference: PairAffineEstimate (stitch_global.cpp:32-39)."""
-
-    ok: bool
-    model: Optional[np.ndarray]  # (3,3) cur -> ref, full-res strip coords
-    inliers: int = 0
-    matches: int = 0
-    ratio: float = 0.0
-
-    @property
-    def score(self) -> float:
-        return self.inliers + 20.0 * self.ratio + 0.02 * self.matches
 
 
 def _detect_strip(img: np.ndarray, tuning: StitchTuning):
@@ -95,85 +80,6 @@ def _detect_strip(img: np.ndarray, tuning: StitchTuning):
     return feats, s
 
 
-def _mask_roi(feats, idx: int, roi):
-    """Validity-mask features to an x-range (keeps full-frame coords).
-
-    TPU-first replacement for the reference's per-ROI SIFT re-runs
-    (stitch_global.cpp:266-285): with fixed-K feature sets, an ROI
-    hypothesis is just a validity mask — zero extra detect work.
-    """
-    xy = feats.xy[idx]
-    valid = feats.valid[idx]
-    if roi is not None:
-        x0, x1 = roi
-        valid = valid & (xy[:, 0] >= x0) & (xy[:, 0] < x1)
-    return xy, feats.desc[idx], valid
-
-
-def _est_from_feats(f_ref, s_ref, f_cur, cur_roi, ref_roi,
-                    tuning: StitchTuning, seed: int) -> PairAffineEstimate:
-    """Alignment hypothesis from precomputed features (full-frame coords)."""
-    xy_r, d_r, v_r = _mask_roi(f_ref, 0, ref_roi)
-    xy_c, d_c, v_c = _mask_roi(f_cur, 0, cur_roi)
-    ratio = float(M.adaptive_ratio(tuning.match_conf))
-    m = M.knn2_ratio(d_c, v_c, d_r, v_r, ratio)
-    src, dst, good = M.gather_correspondences(xy_c, xy_r, m)
-    n_good = int(m.good.sum())
-    if n_good < max(2, tuning.min_good_matches // 2):  # halved gate (:170)
-        return PairAffineEstimate(ok=False, model=None, matches=n_good)
-    res = R.estimate_affine2d(src, dst, good, jax.random.PRNGKey(seed),
-                              thresh=4.0 / max(s_ref, 1e-6))
-    n_inl = int(res.n_inliers)
-    if not bool(res.ok) or n_inl < max(2, tuning.min_inliers // 2):  # :201
-        return PairAffineEstimate(ok=False, model=None, matches=n_good,
-                                  inliers=n_inl)
-    return PairAffineEstimate(
-        ok=True, model=np.asarray(res.model), inliers=n_inl,
-        matches=n_good, ratio=n_inl / max(1, n_good))
-
-
-def _roi_candidates(w: int) -> List[Tuple[int, int]]:
-    """Full / left / right / center x-ranges (reference :226-259)."""
-    cands = [(0, w)]
-    half = w // 2
-    if half >= _ROI_MIN_WIDTH:
-        cands.extend([(0, half), (w - half, w)])
-        quarter = w // 4
-        if w - 2 * quarter >= _ROI_MIN_WIDTH:
-            cands.append((quarter, w - quarter))
-    dedup = []
-    for c in cands:
-        if c not in dedup:
-            dedup.append(c)
-    return dedup
-
-
-def _estimate_with_roi_search(f_ref, s_ref, f_cur, ref_shape, cur_shape,
-                              tuning: StitchTuning,
-                              seed: int) -> PairAffineEstimate:
-    """Best alignment over ROI hypothesis pairs (:261-289).
-
-    Features are detected once per strip; each ROI pair is a validity-mask
-    variant, so the <=16-pair grid costs 16 match+RANSAC launches and zero
-    extra feature extraction. Models stay in full-frame coordinates.
-    """
-    best = _est_from_feats(f_ref, s_ref, f_cur, None, None, tuning, seed)
-    if best.ok and best.inliers >= 2 * tuning.min_inliers:
-        return best  # strong full-frame alignment; skip the grid
-    ref_rois = _roi_candidates(ref_shape[1])
-    cur_rois = _roi_candidates(cur_shape[1])
-    for k, ref_roi in enumerate(ref_rois):
-        for kk, cur_roi in enumerate(cur_rois):
-            if k == 0 and kk == 0:
-                continue  # full-frame pair already evaluated
-            est = _est_from_feats(f_ref, s_ref, f_cur, cur_roi,
-                                  None if k == 0 else ref_roi,
-                                  tuning, seed)
-            if est.ok and (not best.ok or est.score > best.score):
-                best = est
-    return best
-
-
 def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
                  seed: int = 0):
     """Chained global transforms + per-strip orientation (:400-437).
@@ -183,6 +89,12 @@ def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
     maps oriented-strip coordinates into the global (strip-0) frame, so
     the whole chain lives in oriented frames and composition warps the
     oriented images.
+
+    Per strip pair: ONE detect (current strip), features mirrored in
+    closed form for the flip hypothesis, and the whole (direct + flipped)
+    x ROI grid solved as one banked launch + one fetch (pipeline/
+    roi_align.py) — vs the reference's up-to-32 sequential SIFT re-runs
+    (stitch_global.cpp:261-289,401-421).
     """
     log = get_logger()
     n = len(strips)
@@ -193,14 +105,11 @@ def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
     for i in range(1, n):
         cur = strips[i]
         f_cur, _ = _detect_strip(cur, tuning)
-        direct = _estimate_with_roi_search(
-            f_prev, s_prev, f_cur, oriented[i - 1].shape, cur.shape, tuning,
-            seed + i)
+        f_flip = F.mirror_features(f_cur, cur.shape[1])
         cur_flip = cur[:, ::-1].copy()
-        f_flip, _ = _detect_strip(cur_flip, tuning)
-        flip_est = _estimate_with_roi_search(
-            f_prev, s_prev, f_flip, oriented[i - 1].shape, cur_flip.shape,
-            tuning, seed + i + 1000)
+        direct, flip_est = align_pair_banked(
+            f_prev, s_prev, f_cur, f_flip, oriented[i - 1].shape, cur.shape,
+            tuning, seed + i)
         # choose by inliers then ratio (:406-421)
         use_flip = flip_est.ok and (
             not direct.ok

@@ -102,16 +102,19 @@ def detect_features(images: List[np.ndarray], n_features: int,
     if same_size:
         # fast path: uint8 transfer + fused gray/resize/pad/detect, chunked
         # (a 200-frame sortie in ONE program needs ~10 GB of scale-space
-        # intermediates and is rejected by the TPU compile helper)
+        # intermediates and is rejected by the TPU compile helper).
+        # Chunks arrive through the double-buffered DeviceFeed (SURVEY
+        # §7.2): chunk k+1 stacks on a host thread and device_puts while
+        # chunk k's detect program runs, so ingest overlaps compute —
+        # unlike the reference's serial decode loop
+        # (image_loader.cpp:52-59).
+        from ..runtime.feed import DeviceFeed
         wh, ww = work_hw[0]
         outs = []
-        for c0 in range(0, n, _DETECT_CHUNK):
-            chunk = images[c0:c0 + _DETECT_CHUNK]
-            take = len(chunk)
-            if take < _DETECT_CHUNK < n:  # pad to reuse the compiled shape
-                chunk = list(chunk) + [chunk[-1]] * (_DETECT_CHUNK - take)
-            fc = _detect_batch_u8(jnp.asarray(np.stack(chunk)), n_features,
-                                  wh, ww, bh, bw)
+        feed = DeviceFeed(images, batch_size=_DETECT_CHUNK,
+                          keep_uint8=True, pad_tail=True)
+        for dev_chunk, take in feed:
+            fc = _detect_batch_u8(dev_chunk, n_features, wh, ww, bh, bw)
             outs.append(jax.tree_util.tree_map(lambda a: a[:take], fc))
         feats = (outs[0] if len(outs) == 1 else jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *outs))

@@ -115,6 +115,16 @@ def test_device_feed(tmp_path):
     batches = list(DeviceFeed(paths, batch_size=2))
     assert [b.shape[0] for b in batches] == [2, 2, 1]
     assert batches[0].shape[1:] == (32, 48, 3)
+    # production mode (pipeline/registration.py): uint8 transfer, tail
+    # padded so every chunk reuses one compiled shape, real count returned
+    prod = list(DeviceFeed(paths, batch_size=2, keep_uint8=True,
+                           pad_tail=True))
+    assert [t for _, t in prod] == [2, 2, 1]
+    assert all(b.shape[0] == 2 for b, _ in prod)
+    assert all(b.dtype == np.uint8 for b, _ in prod)
+    # padded tail frame repeats the last real frame
+    assert np.array_equal(np.asarray(prod[-1][0][1]),
+                          np.asarray(prod[-1][0][0]))
 
 
 def test_undistort_identity():

@@ -109,3 +109,35 @@ def test_cross_check_mutual():
 
 def test_pair_confidence():
     assert np.isclose(float(match.pair_confidence(16, 40)), 16 / (8 + 12.0))
+
+
+def test_mirror_features_involution(ortho):
+    """mirror(mirror(f)) == f exactly (pure permutation + coordinate map)."""
+    gray = np.asarray(bgr_to_gray(jnp.asarray(ortho[:256, :320])))
+    f = _detect(gray)
+    f2 = features.mirror_features(features.mirror_features(f, 320), 320)
+    assert np.allclose(np.asarray(f2.desc), np.asarray(f.desc))
+    assert np.allclose(np.asarray(f2.xy), np.asarray(f.xy), atol=1e-4)
+    assert np.allclose(np.mod(np.asarray(f2.angle), 2 * np.pi),
+                       np.mod(np.asarray(f.angle), 2 * np.pi), atol=1e-5)
+
+
+def test_mirror_features_matches_flip_detect(ortho):
+    """Mirrored features must match features detected on the flipped image
+    at (nearly) identical positions with small descriptor distances —
+    validates the closed-form flip transport used by the global stage's
+    reversed-strip hypothesis (reference: stitch_global.cpp:401-421)."""
+    gray = np.asarray(bgr_to_gray(jnp.asarray(ortho[:256, :320])))
+    f = _detect(gray)
+    fm = features.mirror_features(f, gray.shape[1])
+    ff = _detect(np.ascontiguousarray(gray[:, ::-1]))
+    m = match.knn2_ratio(fm.desc, fm.valid, ff.desc, ff.valid, 0.8)
+    src, dst, good = match.gather_correspondences(fm.xy, ff.xy, m)
+    n_good = int(np.asarray(m.good).sum())
+    assert n_good > 100, n_good
+    g = np.asarray(good)
+    d = np.linalg.norm(np.asarray(src)[g] - np.asarray(dst)[g], axis=-1)
+    # matches land on the same physical keypoints (identity mapping)
+    assert float(np.median(d)) < 1.0, float(np.median(d))
+    # and descriptors are near-identical (distances tiny vs the 512 scale)
+    assert float(np.median(np.asarray(m.dist)[g])) < 60.0

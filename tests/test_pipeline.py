@@ -155,3 +155,22 @@ def test_pairwise_modality_presets(ortho):
         pano = stitch_pair(imgs[0], imgs[1], t)
         assert abs(pano.shape[0] - 192) <= 3, modality
         assert abs(pano.shape[1] - 384) <= 4, modality
+
+
+def test_roi_candidates_reference_grid():
+    """ROI rects match buildStripRoiCandidates exactly
+    (stitch_global.cpp:226-259): full / left(0..0.68) / right(0.32..1) /
+    center(0.16..0.84) with 0.05..0.95 y-trim, >=120 px both dims."""
+    from drone_image_stitch_cpp_tpu.pipeline.roi_align import (
+        build_hyp_bank, roi_candidates)
+    rois = roi_candidates((600, 1000))
+    assert rois == [(0.0, 1000.0, 0.0, 600.0),
+                    (0.0, 680.0, 30.0, 570.0),
+                    (320.0, 1000.0, 30.0, 570.0),
+                    (160.0, 840.0, 30.0, 570.0)]
+    # small strip: every sub-ROI is under 120 px wide -> full frame only
+    assert roi_candidates((150, 150)) == [(0.0, 150.0, 0.0, 150.0)]
+    bank = build_hyp_bank((600, 1000), (600, 1000))
+    assert bank.shape == (16, 8)
+    # row 0 is the (full, full) pair
+    assert bank[0].tolist() == [0, 1000, 0, 600, 0, 1000, 0, 600]
