@@ -482,7 +482,12 @@ def _descriptor_one(gauss: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray,
     sa = jnp.sin(angle)
     li = jnp.clip(layer, 0, gauss.shape[0] - 1)
 
-    pd = min(2 * _DESC_PATCH_R + 3, h, w)  # tiny top octaves clamp
+    # tiny top octaves clamp the patch to the octave's min dim: keypoints
+    # whose support exceeds it get a TRUNCATED descriptor here, while the
+    # Pallas kernel's (96, 128) window covers the full support — for
+    # sigma ~> 6 full-res px the two backends legitimately diverge (the
+    # kernel is the more OpenCV-faithful one); see tests/test_pallas_sift
+    pd = min(2 * _DESC_PATCH_R + 3, h, w)
     py0 = jnp.clip(jnp.round(y).astype(jnp.int32) - _DESC_PATCH_R - 1, 0,
                    h - pd)
     px0 = jnp.clip(jnp.round(x).astype(jnp.int32) - _DESC_PATCH_R - 1, 0,
@@ -763,13 +768,13 @@ def detect_and_describe_batched(grays: jnp.ndarray, max_kp: int,
         b * n_oct * n_layers_tot, h0p, w0p)
     frame = jnp.arange(b, dtype=jnp.int32)[:, None]
     flat_layer = (frame * n_oct + oct_s) * n_layers_tot + li_s
-    # gradient bounds per keypoint = its octave's own-aligned dims (the
-    # pre-selection path padded each octave only to its own (8,128) grid;
-    # matching that keeps edge-keypoint descriptors identical)
-    own_h = jnp.asarray([max(PS.PR, -(-g.shape[2] // 8) * 8)
-                         for g, _ in octs], jnp.float32)
-    own_w = jnp.asarray([max(PS.PC, -(-g.shape[3] // 128) * 128)
-                         for g, _ in octs], jnp.float32)
+    # gradient bounds per keypoint = its octave's RAW dims: the vmapped
+    # reference path clamps support patches at each octave array's edge,
+    # so taps into the inter-octave pad (edge-replicated rows/cols with
+    # nonzero cross-gradients) must be masked out here or descriptors of
+    # keypoints near small-octave borders diverge from the XLA path
+    own_h = jnp.asarray([g.shape[2] for g, _ in octs], jnp.float32)
+    own_w = jnp.asarray([g.shape[3] for g, _ in octs], jnp.float32)
     ang_s, desc_s = PS.orientation_descriptor_flat(
         gauss_flat, flat_layer, yf_s, xf_s, sig_s,
         true_hw=(own_h[oct_s], own_w[oct_s]), interpret=interpret)

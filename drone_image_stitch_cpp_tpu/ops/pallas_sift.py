@@ -245,7 +245,7 @@ def _run(gauss_flat, starts, fparams, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(kpad // KB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((KB, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -212,7 +212,7 @@ def _run(img, starts, params, out_h: int, out_w: int, ny: int, nx: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ny, nx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, *_: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((SRC_H, SRC_W), jnp.float32),
