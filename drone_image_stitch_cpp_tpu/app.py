@@ -189,7 +189,8 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 blend_bands=max(5, tuning.blend_bands))
             with log.timer("Main", "global compose"):
                 panorama = stitch_inter_strips_custom(strips_done,
-                                                      global_tuning)
+                                                      global_tuning,
+                                                      mesh=mesh)
 
         panorama = auto_crop_black_border(panorama)
         _write_image(cfg.output_path, panorama)

@@ -186,7 +186,8 @@ def mb_tile_grid(canvas_h: int, canvas_w: int, bands: int,
 
 
 def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
-                     frame_boxes, feed_tile, tile: int | None = None):
+                     frame_boxes, feed_tile, tile: int | None = None,
+                     devices=None):
     """Stream a multiband blend through canvas tiles (HBM-bounded).
 
     ``frame_boxes``: per-frame (x0, y0, x1, y1) canvas-space bounds (host
@@ -198,26 +199,51 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
     ~17 GB of accumulators — over single-chip HBM. Tiles bound device
     memory at O(tile + halo) regardless of canvas size; the assembled
     mosaic lives in host RAM.
+
+    Tiles are INDEPENDENT (the halo makes tiling exact), which is the
+    compose stage's data-parallel axis: with ``devices`` (e.g.
+    ``mesh.devices.flat``) tiles round-robin across chips and dispatch
+    asynchronously; fetches are deferred a few tiles behind dispatch so
+    device compute overlaps host-side mosaic assembly on any device count.
     """
+    import contextlib
+
     import numpy as np
 
     bands = min(bands, MAX_TILED_BANDS)
     tiles, _ = mb_tile_grid(canvas_h, canvas_w, bands, tile)
     out = np.zeros((canvas_h, canvas_w, 3), np.uint8)
-    for (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in tiles:
+    devices = list(devices) if devices is not None else [None]
+    depth = max(2, len([d for d in devices if d is not None]))
+    pending = []
+
+    def materialize(entry):
+        cy0, cy1, cx0, cx1, img = entry
+        out[cy0:cy1, cx0:cx1] = np.asarray(img).astype(np.uint8)
+
+    for t_idx, (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in \
+            enumerate(tiles):
+        dev = devices[t_idx % len(devices)]
+        ctx = jax.default_device(dev) if dev is not None \
+            else contextlib.nullcontext()
         eh, ew = ey1 - ey0, ex1 - ex0
-        canvas_t = mb_prepare(eh, ew, bands)
-        fed = 0
-        for i, (fx0, fy0, fx1, fy1) in enumerate(frame_boxes):
-            if fx1 <= ex0 or fx0 >= ex1 or fy1 <= ey0 or fy0 >= ey1:
-                continue
-            canvas_t = feed_tile(canvas_t, i, ey0, ex0, eh, ew)
-            fed += 1
-        if fed:
-            img, _ = mb_blend(canvas_t, eh, ew)
-            out[cy0:cy1, cx0:cx1] = np.asarray(
-                img[cy0 - ey0:cy1 - ey0, cx0 - ex0:cx1 - ex0]
-            ).astype(np.uint8)
+        with ctx:
+            canvas_t = mb_prepare(eh, ew, bands)
+            fed = 0
+            for i, (fx0, fy0, fx1, fy1) in enumerate(frame_boxes):
+                if fx1 <= ex0 or fx0 >= ex1 or fy1 <= ey0 or fy0 >= ey1:
+                    continue
+                canvas_t = feed_tile(canvas_t, i, ey0, ex0, eh, ew)
+                fed += 1
+            if fed:
+                img, _ = mb_blend(canvas_t, eh, ew)
+                pending.append((cy0, cy1, cx0, cx1,
+                                img[cy0 - ey0:cy1 - ey0,
+                                    cx0 - ex0:cx1 - ex0]))
+        while len(pending) > depth:
+            materialize(pending.pop(0))
+    for entry in pending:
+        materialize(entry)
     return out
 
 

@@ -178,8 +178,12 @@ def _gain_chain(seam_imgs: List[jnp.ndarray], seam_masks: List[jnp.ndarray],
 
 def stitch_inter_strips_custom(strips: List[np.ndarray],
                                tuning: Optional[StitchTuning] = None,
-                               seed: int = 0) -> np.ndarray:
-    """Compose strip panoramas into one mosaic (reference :386-675)."""
+                               seed: int = 0, mesh=None) -> np.ndarray:
+    """Compose strip panoramas into one mosaic (reference :386-675).
+
+    ``mesh``: optional device mesh — a tiled compose distributes its
+    independent canvas tiles over it (ops/blend.mb_compose_tiled).
+    """
     log = get_logger()
     t_start = time.perf_counter()
     tuning = tuning or StitchTuning()
@@ -301,8 +305,10 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     if use_tiled:
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
                        for b in boxes]
-        result = B.mb_compose_tiled(canvas_h, canvas_w, bands,
-                                    frame_boxes, feed_roi)
+        result = B.mb_compose_tiled(
+            canvas_h, canvas_w, bands, frame_boxes, feed_roi,
+            devices=(list(mesh.devices.flat) if mesh is not None
+                     else None))
     else:
         canvas = B.mb_prepare(canvas_h, canvas_w, bands)
         for i in range(n):

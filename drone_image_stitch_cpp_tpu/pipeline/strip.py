@@ -153,7 +153,8 @@ def _axes_from_transforms(transforms: np.ndarray) -> List[str]:
 
 
 def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
-                  tuning: StitchTuning, stage: str = "Strip") -> np.ndarray:
+                  tuning: StitchTuning, stage: str = "Strip",
+                  mesh=None) -> np.ndarray:
     """Warp + seam + gain + multiband blend at compositing resolution.
 
     ``transforms``: (N, 2, 3) frame->reference affines (full-res units).
@@ -161,7 +162,9 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     budget (setCompositingResol analog, stitch_robust.cpp:185); -1 keeps
     full resolution. ``use_affine_warper=False`` routes every compose warp
     through the perspective (plane-warper family) kernel instead of the
-    affine fast path (stitch_robust.cpp:203-205).
+    affine fast path (stitch_robust.cpp:203-205). ``mesh``: optional
+    device mesh — tiled composes round-robin their independent tiles over
+    it (ops/blend.mb_compose_tiled).
     """
     log = get_logger()
     n = len(images)
@@ -291,8 +294,10 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     if use_tiled:
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
                        for b in boxes]
-        return B.mb_compose_tiled(canvas_h, canvas_w, bands, frame_boxes,
-                                  feed_roi)
+        return B.mb_compose_tiled(
+            canvas_h, canvas_w, bands, frame_boxes, feed_roi,
+            devices=(list(mesh.devices.flat) if mesh is not None
+                     else None))
 
     canvas = B.mb_prepare(canvas_h, canvas_w, bands)
     for i in range(n):
@@ -349,7 +354,7 @@ def stitch_strip(images: List[np.ndarray],
         if len(kept) < n:
             log.log(stage, "dropped weak frames",
                     dropped=[i for i in range(n) if i not in set(kept)])
-        return compose_strip(imgs, transforms, tuning, stage)
+        return compose_strip(imgs, transforms, tuning, stage, mesh=mesh)
     except StripStitchError as err:
         log.log(stage, "joint stitch failed", error=str(err))
         if matching_mask is not None:

@@ -83,3 +83,48 @@ def test_app_registration_device_count_invariant():
                                               seed=3, mesh=mesh)
     assert kept1 == kept8
     assert np.abs(tr1 - tr8).max() < 1e-4, np.abs(tr1 - tr8).max()
+
+
+def test_tiled_compose_sharded_matches_single_device(ortho):
+    """mb_compose_tiled's independent tiles distributed over the mesh must
+    produce the identical mosaic byte-for-byte (round-robin placement +
+    deferred fetches change scheduling, never values)."""
+    import jax.numpy as jnp
+
+    from drone_image_stitch_cpp_tpu.ops import blend as B
+    from drone_image_stitch_cpp_tpu.ops.pallas_warp import (
+        warp_affine as fast_warp)
+    from drone_image_stitch_cpp_tpu.parallel.mesh import make_mesh
+
+    bands = 3
+    ch, cw = 320, 512
+    frames = [ortho[40:200, 40:296].astype(np.float32),
+              ortho[40:200, 168:424].astype(np.float32)]
+    offs = [(0.0, 0.0), (128.0, 40.0)]
+    boxes = [(ox, oy, ox + f.shape[1], oy + f.shape[0])
+             for (ox, oy), f in zip(offs, frames)]
+    feed = jax.jit(B.mb_feed, donate_argnums=0)
+
+    def feed_roi(cv, i, oy, ox, eh, ew):
+        fx0, fy0, fx1, fy1 = boxes[i]
+        tlx, tly, rw_, rh_ = B.aligned_roi(fx0 - ox, fy0 - oy,
+                                           fx1 - ox, fy1 - oy, bands,
+                                           eh, ew)
+        t = np.asarray([[1, 0, -(ox + tlx - offs[i][0])],
+                        [0, 1, -(oy + tly - offs[i][1])]], np.float32)
+        img = jnp.asarray(frames[i])
+        wimg = fast_warp(img, t, rh_, rw_)
+        cmask = fast_warp(jnp.ones(img.shape[:2], jnp.float32), t,
+                          rh_, rw_) >= 0.999
+        return feed(cv, wimg, cmask.astype(jnp.float32), tlx, tly, cmask)
+
+    kw = dict(tile=128)
+    out1 = B.mb_compose_tiled(ch, cw, bands, boxes, feed_roi, **kw)
+    mesh = make_mesh(8, platform="cpu")
+    out8 = B.mb_compose_tiled(ch, cw, bands, boxes, feed_roi,
+                              devices=list(mesh.devices.flat), **kw)
+    assert out1.shape == out8.shape == (ch, cw, 3)
+    assert np.array_equal(out1, out8), np.abs(
+        out1.astype(int) - out8.astype(int)).max()
+    # content actually landed on the canvas
+    assert (out1 > 0).mean() > 0.2

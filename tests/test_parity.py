@@ -1,0 +1,37 @@
+"""Parity vs the compiled C++ reference (bench_parity.py harness in CI).
+
+Runs BOTH stitchers end-to-end on a tiny synthetic sortie and asserts our
+GT-RMSE matches or beats the reference's (the repeatable version of the
+BASELINE.md parity rows; reference output at stitch_global.cpp:662-666).
+Skips cleanly when the reference cannot be built on the host.
+"""
+
+import subprocess
+import sys
+
+import pytest
+
+
+def _reference_available() -> bool:
+    sys.path.insert(0, ".")
+    from tools.sortie_bench import build_reference
+    try:
+        build_reference()
+        return True
+    except (subprocess.CalledProcessError, OSError) as err:
+        print(f"reference build unavailable: {err}", file=sys.stderr)
+        return False
+
+
+def test_parity_tiny_vs_reference(tmp_path):
+    if not _reference_available():
+        pytest.skip("C++ reference does not build on this host")
+    from bench_parity import run_config
+
+    out = run_config("tiny-8f", str(tmp_path))
+    assert out["ref_rc"] == 0, out
+    assert out["gt_rmse_ours"] < 25.0, out
+    assert out["ratio"] is not None, out
+    # parity target: match or beat the reference's accuracy (ratio <= 1;
+    # BASELINE.json demands px-RMSE parity, tracked as the GT-RMSE ratio)
+    assert out["ratio"] <= 1.0, out
