@@ -1,0 +1,129 @@
+"""Fused per-(frame, tile) compose feed: ONE dispatch per feed.
+
+The compose stages (pipeline/strip.compose_strip, pipeline/global_
+.stitch_inter_strips_custom) feed each frame's ROI into the shared canvas
+pyramid. Naively that is ~7 device dispatches per (frame, tile) — 3 Pallas
+channel warps + content-mask warp + gain/seam upsamples + the pyramid
+feed — and on the remote-TPU relay each dispatch costs tens of ms, so a
+20-frame strip's compose paid hundreds of round-trips.
+
+This module traces the WHOLE feed as one jitted program (warp plan passed
+as arrays, so different frames/tiles reuse one compile per shape bucket):
+  warp img (3ch) + footprint -> optional block-gain modulation ->
+  seam-mask upsample -> weight -> multiband pyramid accumulate.
+
+Two weight modes mirror the two callers:
+  * mode="strip": weight = seam * footprint(>=0.5), block-gain map
+    (BlocksGainCompensator analog);
+  * mode="global": weight = gaussian(sigma=10)-feathered seam mask inside
+    the 0.999-footprint content mask (buildSoftBlendMask analog,
+    reference: stitch_global.cpp:332-351,643-660).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import blend as B
+from ..ops import pallas_warp as PW
+from ..ops.color import nonblack_mask
+from ..ops.gaussian import gaussian_blur
+from ..ops.warp import warp_affine as warp_xla
+from ..ops.warp import warp_perspective
+
+_SOFT_MASK_SIGMA = 10.0  # reference :345
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("rh", "rw", "ny", "nx", "ph", "pw", "use_pallas",
+                     "has_gain", "persp", "mode"))
+def _feed_prog(cv, img32, gain_m1, seam_mask, t23, h33, starts, params,
+               tlx, tly, gx, gy, inv_seam, *, rh: int, rw: int, ny: int,
+               nx: int, ph: int, pw: int, use_pallas: bool, has_gain: bool,
+               persp: bool, mode: str):
+    h, w = img32.shape[0], img32.shape[1]
+    if persp:
+        wimg = warp_perspective(img32, h33, rh, rw)
+        content = (nonblack_mask(img32, 2.0).astype(jnp.float32)
+                   if mode == "global"
+                   else jnp.ones((h, w), jnp.float32))
+        cm = warp_perspective(content, h33, rh, rw)
+        cthresh = 0.999 if mode == "global" else 0.5
+    elif use_pallas:
+        imgp = jnp.pad(img32, ((0, ph - h), (0, pw - w), (0, 0)))
+        wimg = jnp.stack(
+            [PW._run(imgp[..., c], starts, params, rh, rw, ny, nx)
+             for c in range(3)], axis=-1)
+        content = (nonblack_mask(img32, 2.0).astype(jnp.float32)
+                   if mode == "global"
+                   else jnp.ones((h, w), jnp.float32))
+        cm = PW._run(jnp.pad(content, ((0, ph - h), (0, pw - w))),
+                     starts, params, rh, rw, ny, nx)
+        cthresh = 0.999 if mode == "global" else 0.5
+    else:
+        wimg = warp_xla(img32, t23, rh, rw)
+        content = (nonblack_mask(img32, 2.0).astype(jnp.float32)
+                   if mode == "global"
+                   else jnp.ones((h, w), jnp.float32))
+        cm = warp_xla(content, t23, rh, rw)
+        cthresh = 0.999 if mode == "global" else 0.5
+    cmask = cm >= cthresh
+
+    def upsample(m):
+        t = jnp.stack([
+            jnp.stack([inv_seam, jnp.float32(0.0), -gx]),
+            jnp.stack([jnp.float32(0.0), inv_seam, -gy])])
+        return warp_xla(m.astype(jnp.float32), t, rh, rw)
+
+    if has_gain:
+        wimg = wimg * (1.0 + upsample(gain_m1))[..., None]
+    sroi = upsample(seam_mask)
+    if mode == "global":
+        weight = jnp.where(cmask, gaussian_blur(sroi, _SOFT_MASK_SIGMA),
+                           0.0)
+    else:
+        weight = sroi * cmask.astype(jnp.float32)
+    return B.mb_feed(cv, wimg, weight, tlx, tly, cmask)
+
+
+_ZERO1 = np.zeros((8, 8), np.float32)
+
+
+def feed_frame(cv, img32, seam_mask, t_full: np.ndarray, tlx: int,
+               tly: int, gx: float, gy: float, seam_scale: float,
+               rh: int, rw: int, mode: str, gain_m1=None,
+               persp: bool = False, h33: np.ndarray | None = None):
+    """One-dispatch feed of a frame ROI into ``cv`` (see module doc).
+
+    ``t_full``: host (2, 3) frame->ROI affine (values known -> the Pallas
+    fast-path plan is computed here and shipped as arrays); ``gain_m1``:
+    optional (gh, gw) block-gain-minus-1 map at seam scale; ``persp``
+    routes through the perspective kernel with host ``h33``.
+    """
+    h, w = int(img32.shape[0]), int(img32.shape[1])
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = (not persp and (on_tpu or PW._INTERPRET)
+                  and PW.pallas_warp_supported(t_full))
+    if use_pallas:
+        starts, params, ny, nx, ph, pw = PW.warp_plan(t_full, rh, rw, h, w)
+        starts = jnp.asarray(starts)
+        params = jnp.asarray(params)
+    else:
+        starts = jnp.zeros((1, 4), jnp.int32)
+        params = jnp.zeros((8,), jnp.float32)
+        ny = nx = 1
+        ph, pw = h, w
+    return _feed_prog(
+        cv, img32,
+        gain_m1 if gain_m1 is not None else jnp.asarray(_ZERO1),
+        seam_mask, jnp.asarray(t_full),
+        jnp.asarray(h33 if h33 is not None else np.eye(3, dtype=np.float32)),
+        starts, params, tlx, tly, jnp.float32(gx), jnp.float32(gy),
+        jnp.float32(1.0 / max(seam_scale, 1e-12)),
+        rh=rh, rw=rw, ny=ny, nx=nx, ph=ph, pw=pw, use_pallas=use_pallas,
+        has_gain=gain_m1 is not None, persp=persp, mode=mode)

@@ -51,13 +51,12 @@ from ..ops import exposure as E
 from ..ops import features as F
 from ..ops import seam as S
 from ..ops.color import bgr_to_gray, nonblack_mask
-from ..ops.gaussian import gaussian_blur
 from ..ops.resize import scale_for_max_dim
 from ..ops.transform import compose_affine, transformed_bbox
 from ..ops.warp import warp_affine, warp_content_mask
-from ..ops.pallas_warp import warp_affine as fast_warp
 from ..runtime.logging import get_logger
 from .registration import detect_features
+from . import compose_feed as CF
 from .roi_align import PairAffineEstimate, align_pair_banked
 
 _MAX_ALIGN_DIM = 2800       # reference :119
@@ -220,10 +219,16 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     log.log("GlobalCustom", "seam scale", scale=round(seam_scale, 4),
             h=sh, w=sw)
 
+    # device-resident strips: transferred ONCE (uint8 across the wire),
+    # reused by the seam stage and every tile feed — per-(strip, tile)
+    # re-uploads of multi-hundred-MB strip panoramas dominated compose
+    to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
+    dev_strips = [to_f32(jnp.asarray(st)) for st in strips]
+
     seam_imgs, seam_masks = [], []
     for i in range(n):
         ts = jnp.asarray((ssc @ t_canvas[i]).astype(np.float32))
-        img32 = jnp.asarray(strips[i].astype(np.float32))
+        img32 = dev_strips[i]
         seam_imgs.append(warp_affine(img32, ts, sh, sw))
         seam_masks.append(warp_content_mask(
             nonblack_mask(img32, 2.0), ts, sh, sw,
@@ -274,10 +279,27 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     if use_tiled:
         bands = min(bands, B.MAX_TILED_BANDS)
     log.log("GlobalCustom", "blend", bands=bands, tiled=use_tiled)
-    feed = jax.jit(B.mb_feed, donate_argnums=0)
+    apply_gain = jax.jit(lambda a, g: a * g)
+    gained_strips = [apply_gain(dev_strips[i],
+                                jnp.asarray(total_gains[i]))
+                     for i in range(n)]
+    _percall_cache: dict = {}
+
+    def _on_dev(key, arr, like):
+        """``arr`` colocated with ``like`` (mesh-tiled compose places each
+        tile's canvas on its own device; committed arrays must follow)."""
+        dev = next(iter(like.devices()))
+        if next(iter(arr.devices())) == dev:
+            return arr
+        ck = (key, dev)
+        if ck not in _percall_cache:
+            _percall_cache[ck] = jax.device_put(arr, dev)
+        return _percall_cache[ck]
 
     def feed_roi(cv, i, oy, ox, ch_, cw_):
-        """Feed strip i into a canvas pyramid with origin (ox, oy)."""
+        """Feed strip i into a canvas pyramid with origin (ox, oy) — ONE
+        fused dispatch (pipeline/compose_feed.py): warp + 0.999-footprint
+        content mask + sigma=10 soft seam mask (:332-351) + accumulate."""
         bx0, by0 = boxes[i][0] - x0 - ox, boxes[i][1] - y0 - oy
         bx1, by1 = boxes[i][2] - x0 - ox, boxes[i][3] - y0 - oy
         tlx, tly, rw_, rh_ = B.aligned_roi(bx0, by0, bx1, by1, bands,
@@ -290,17 +312,10 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         t_roi = np.asarray([[1, 0, -gx], [0, 1, -gy]], np.float32)
         t_full = np.asarray(compose_affine(
             jnp.asarray(t_roi), jnp.asarray(t_canvas[i])))
-        img32 = jnp.asarray(strips[i].astype(np.float32))
-        img32 = img32 * jnp.asarray(total_gains[i])
-        wimg = fast_warp(img32, t_full, rh_b, rw_b)
-        cmask = fast_warp(nonblack_mask(img32, 2.0).astype(jnp.float32),
-                          t_full, rh_b, rw_b) >= 0.999
-        # soft feathered seam mask (sigma=10, :332-351)
-        sroi = _mask_roi_upsample(seam_out[i], gx, gy, rh_b, rw_b,
-                                  seam_scale)
-        soft = gaussian_blur(sroi, _SOFT_MASK_SIGMA)
-        weight = jnp.where(cmask, soft, 0.0)
-        return feed(cv, wimg, weight, tlx, tly, cmask)
+        img32 = _on_dev(("img", i), gained_strips[i], cv.wacc[0])
+        sm = _on_dev(("seam", i), seam_out[i], cv.wacc[0])
+        return CF.feed_frame(cv, img32, sm, t_full, tlx, tly, gx, gy,
+                             seam_scale, rh_b, rw_b, mode="global")
 
     if use_tiled:
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
@@ -320,12 +335,3 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     log.log("GlobalCustom", "composed",
             seconds=round(time.perf_counter() - t_start, 2))
     return result
-
-
-def _mask_roi_upsample(mask: jnp.ndarray, tlx: int, tly: int, rh: int,
-                       rw: int, seam_scale: float) -> jnp.ndarray:
-    """src->dst: x_roi = x_seam / s - tlx (see pipeline/strip.py)."""
-    inv_s = 1.0 / seam_scale
-    t = jnp.asarray([[inv_s, 0.0, -float(tlx)],
-                     [0.0, inv_s, -float(tly)]], jnp.float32)
-    return warp_affine(mask.astype(jnp.float32), t, rh, rw)

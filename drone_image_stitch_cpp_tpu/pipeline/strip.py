@@ -34,6 +34,7 @@ from ..ops.transform import compose_affine, h3_to_affine, transformed_bbox
 from ..ops.warp import warp_affine, warp_perspective
 from ..ops.pallas_warp import warp_affine as fast_warp
 from ..runtime.logging import get_logger
+from . import compose_feed as CF
 from .bundle import bundle_adjust_similarity_jit, params_from_affine
 from .pairgraph import (PairGraph, banded_pairs, all_pairs,
                         biggest_component, chain_init, register_pairs)
@@ -194,6 +195,25 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
             return fast_warp(img, t23, oh, ow)
         return warp_affine(img, jnp.asarray(t23), oh, ow)
 
+    # device-resident frames: transferred ONCE (uint8 across the wire when
+    # possible, converted on device) and reused by the seam stage and every
+    # tile feed — re-uploading per (frame, tile) moved ~95 MB per 4K frame
+    # per tile over the host link and dominated compose wall-clock
+    to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
+    dev_imgs = [to_f32(jnp.asarray(im)) for im in images]
+    _percall_cache: dict = {}
+
+    def _on_dev(key, arr, like):
+        """``arr`` colocated with ``like`` (mesh-tiled compose places each
+        tile's canvas on its own device; committed arrays must follow)."""
+        dev = next(iter(like.devices()))
+        if next(iter(arr.devices())) == dev:
+            return arr
+        ck = (key, dev)
+        if ck not in _percall_cache:
+            _percall_cache[ck] = jax.device_put(arr, dev)
+        return _percall_cache[ck]
+
     # canvas bbox over all transformed corners
     boxes = [np.asarray(transformed_bbox(jnp.asarray(t), im.shape[0],
                                          im.shape[1]))
@@ -222,7 +242,7 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     seam_masks = []
     for i in range(n):
         ts = (ssc @ t_canvas[i]).astype(np.float32)
-        img32 = jnp.asarray(images[i].astype(np.float32))
+        img32 = dev_imgs[i]
         simg = _warp(img32, ts, sh, sw)
         smask = _warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
                       ts, sh, sw) >= 0.5
@@ -243,7 +263,8 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
                        for g in np.asarray(gain_maps.mean(axis=(1, 2)))])
 
     axes = _axes_from_transforms(np.asarray(transforms))
-    seam_masks = S.find_seams_sequential(seam_imgs, seam_masks, axes)
+    with log.timer(stage, "seams"):
+        seam_masks = S.find_seams_sequential(seam_imgs, seam_masks, axes)
 
     # ---- full-res compose: ROI warp -> canvas pyramid --------------------
     # strip stage uses the configured band count directly (the adaptive
@@ -256,11 +277,14 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         log.log(stage, "tiled compose",
                 tiles=len(B.mb_tile_grid(canvas_h, canvas_w, bands)[0]),
                 bands=bands)
-    feed = jax.jit(B.mb_feed, donate_argnums=0,
-                   static_argnames=())
+    # (gain - 1) maps sliced once per strip: the fused feed warps them so
+    # the constant border resolves to gain 1
+    gain_m1_list = ([gain_maps[i] - 1.0 for i in range(n)]
+                    if gain_maps is not None else None)
 
     def feed_roi(cv, i, oy, ox, ch_, cw_):
-        """Feed frame i into a canvas pyramid with origin (ox, oy)."""
+        """Feed frame i into a canvas pyramid with origin (ox, oy) —
+        ONE fused dispatch (pipeline/compose_feed.py)."""
         bx0, by0 = boxes[i][0] - x0 - ox, boxes[i][1] - y0 - oy
         bx1, by1 = boxes[i][2] - x0 - ox, boxes[i][3] - y0 - oy
         tlx, tly, rw_, rh_ = B.aligned_roi(
@@ -276,48 +300,33 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         t_roi = (np.asarray([[1, 0, -gx], [0, 1, -gy]], np.float32))
         t_full = np.asarray(compose_affine(jnp.asarray(t_roi),
                                            jnp.asarray(t_canvas[i])))
-        img32 = jnp.asarray(images[i].astype(np.float32))
-        wimg = _warp(img32, t_full, rh_b, rw_b, fast=True)
-        if gain_maps is not None:
-            # warp (gain - 1) so the constant border resolves to gain 1
-            groi = 1.0 + _upsample_mask_roi(gain_maps[i] - 1.0, gx, gy,
-                                            rh_b, rw_b, seam_scale)
-            wimg = wimg * groi[..., None]
-        # seam mask upsampled from seam scale into the ROI
-        smask_roi = _upsample_mask_roi(seam_masks[i], gx, gy, rh_b, rw_b,
-                                       seam_scale)
-        cmask = _warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
-                      t_full, rh_b, rw_b, fast=True) >= 0.5
-        weight = smask_roi * cmask.astype(jnp.float32)
-        return feed(cv, wimg, weight, tlx, tly, cmask)
+        img32 = _on_dev(("img", i), dev_imgs[i], cv.wacc[0])
+        sm = _on_dev(("seam", i), seam_masks[i], cv.wacc[0])
+        gm = (_on_dev(("gain", i), gain_m1_list[i], cv.wacc[0])
+              if gain_m1_list is not None else None)
+        return CF.feed_frame(
+            cv, img32, sm, t_full, tlx, tly, gx, gy, seam_scale,
+            rh_b, rw_b, mode="strip", gain_m1=gm, persp=persp,
+            h33=(np.vstack([t_full, [0.0, 0.0, 1.0]]).astype(np.float32)
+                 if persp else None))
 
     if use_tiled:
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
                        for b in boxes]
-        return B.mb_compose_tiled(
-            canvas_h, canvas_w, bands, frame_boxes, feed_roi,
-            devices=(list(mesh.devices.flat) if mesh is not None
-                     else None))
+        with log.timer(stage, "tiled blend"):
+            return B.mb_compose_tiled(
+                canvas_h, canvas_w, bands, frame_boxes, feed_roi,
+                devices=(list(mesh.devices.flat) if mesh is not None
+                         else None))
 
-    canvas = B.mb_prepare(canvas_h, canvas_w, bands)
-    for i in range(n):
-        canvas = feed_roi(canvas, i, 0, 0,
-                          canvas.wacc[0].shape[0], canvas.wacc[0].shape[1])
-    out, valid = B.mb_blend(canvas, canvas_h, canvas_w)
-    return np.asarray(out).astype(np.uint8)
-
-
-def _upsample_mask_roi(seam_mask: jnp.ndarray, tlx: int, tly: int,
-                       rh: int, rw: int, seam_scale: float) -> jnp.ndarray:
-    """Bilinearly upsample a seam-scale mask into a full-res canvas ROI.
-
-    warp_affine takes the src->dst transform: seam-scale coords map to
-    ROI-local full-res coords via x_roi = x_seam / s - tlx.
-    """
-    inv_s = 1.0 / seam_scale
-    t = jnp.asarray([[inv_s, 0.0, -float(tlx)],
-                     [0.0, inv_s, -float(tly)]], jnp.float32)
-    return warp_affine(seam_mask.astype(jnp.float32), t, rh, rw)
+    with log.timer(stage, "blend"):
+        canvas = B.mb_prepare(canvas_h, canvas_w, bands)
+        for i in range(n):
+            canvas = feed_roi(canvas, i, 0, 0,
+                              canvas.wacc[0].shape[0],
+                              canvas.wacc[0].shape[1])
+        out, valid = B.mb_blend(canvas, canvas_h, canvas_w)
+        return np.asarray(out).astype(np.uint8)
 
 
 def stitch_strip(images: List[np.ndarray],
@@ -347,9 +356,10 @@ def stitch_strip(images: List[np.ndarray],
         log.log(stage, "plan", pairs=plan)
 
     try:
-        kept, transforms, _ = estimate_strip_transforms(
-            images, tuning, range_width_override, matching_mask, stage,
-            seed, mesh)
+        with log.timer(stage, "register"):
+            kept, transforms, _ = estimate_strip_transforms(
+                images, tuning, range_width_override, matching_mask, stage,
+                seed, mesh)
         imgs = [images[i] for i in kept]
         if len(kept) < n:
             log.log(stage, "dropped weak frames",
