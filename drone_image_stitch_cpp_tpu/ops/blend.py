@@ -218,8 +218,10 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
     pending = []
 
     def materialize(entry):
+        # fetch uint8, not float32: tile cores are ~100 MB f32 at 4K strip
+        # heights and the host link is the compose bottleneck
         cy0, cy1, cx0, cx1, img = entry
-        out[cy0:cy1, cx0:cx1] = np.asarray(img).astype(np.uint8)
+        out[cy0:cy1, cx0:cx1] = np.asarray(img)
 
     for t_idx, (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in \
             enumerate(tiles):
@@ -238,13 +240,20 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
             if fed:
                 img, _ = mb_blend(canvas_t, eh, ew)
                 pending.append((cy0, cy1, cx0, cx1,
-                                img[cy0 - ey0:cy1 - ey0,
-                                    cx0 - ex0:cx1 - ex0]))
+                                clip_u8(img[cy0 - ey0:cy1 - ey0,
+                                            cx0 - ex0:cx1 - ex0])))
         while len(pending) > depth:
             materialize(pending.pop(0))
     for entry in pending:
         materialize(entry)
     return out
+
+
+@jax.jit
+def clip_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Device-side uint8 conversion: fetch 1/4 the bytes of float32
+    (the host link is the compose bottleneck on the remote-TPU relay)."""
+    return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
 
 
 def mb_blend(canvas: MultiBandCanvas, out_h: int, out_w: int):

@@ -42,10 +42,13 @@ _SOFT_MASK_SIGMA = 10.0  # reference :345
     jax.jit, donate_argnums=(0,),
     static_argnames=("rh", "rw", "ny", "nx", "ph", "pw", "use_pallas",
                      "has_gain", "persp", "mode"))
-def _feed_prog(cv, img32, gain_m1, seam_mask, t23, h33, starts, params,
-               tlx, tly, gx, gy, inv_seam, *, rh: int, rw: int, ny: int,
-               nx: int, ph: int, pw: int, use_pallas: bool, has_gain: bool,
-               persp: bool, mode: str):
+def _feed_prog(cv, img, gain_m1, chan_gain, seam_mask, t23, h33, starts,
+               params, tlx, tly, gx, gy, inv_seam, *, rh: int, rw: int,
+               ny: int, nx: int, ph: int, pw: int, use_pallas: bool,
+               has_gain: bool, persp: bool, mode: str):
+    # frames/strips stay device-resident as uint8 (4x less HBM — ten 4K
+    # strip panoramas as f32 alone exceed a v5e's memory); convert here
+    img32 = img.astype(jnp.float32)
     h, w = img32.shape[0], img32.shape[1]
     if persp:
         wimg = warp_perspective(img32, h33, rh, rw)
@@ -73,6 +76,11 @@ def _feed_prog(cv, img32, gain_m1, seam_mask, t23, h33, starts, params,
         cm = warp_xla(content, t23, rh, rw)
         cthresh = 0.999 if mode == "global" else 0.5
     cmask = cm >= cthresh
+    # per-channel gain applied AFTER the warp: bilinear warping is linear,
+    # so gain-then-warp == warp-then-gain exactly, and the uint8 source
+    # stays gain-free in HBM (reference: applyChannelGainInPlace,
+    # stitch_global.cpp:558-571)
+    wimg = wimg * chan_gain
 
     def upsample(m):
         t = jnp.stack([
@@ -94,18 +102,21 @@ def _feed_prog(cv, img32, gain_m1, seam_mask, t23, h33, starts, params,
 _ZERO1 = np.zeros((8, 8), np.float32)
 
 
-def feed_frame(cv, img32, seam_mask, t_full: np.ndarray, tlx: int,
+def feed_frame(cv, img, seam_mask, t_full: np.ndarray, tlx: int,
                tly: int, gx: float, gy: float, seam_scale: float,
                rh: int, rw: int, mode: str, gain_m1=None,
-               persp: bool = False, h33: np.ndarray | None = None):
+               chan_gain=None, persp: bool = False,
+               h33: np.ndarray | None = None):
     """One-dispatch feed of a frame ROI into ``cv`` (see module doc).
 
-    ``t_full``: host (2, 3) frame->ROI affine (values known -> the Pallas
-    fast-path plan is computed here and shipped as arrays); ``gain_m1``:
-    optional (gh, gw) block-gain-minus-1 map at seam scale; ``persp``
-    routes through the perspective kernel with host ``h33``.
+    ``img``: (H, W, 3) uint8 or float32 device frame; ``t_full``: host
+    (2, 3) frame->ROI affine (values known -> the Pallas fast-path plan is
+    computed here and shipped as arrays); ``gain_m1``: optional (gh, gw)
+    block-gain-minus-1 map at seam scale; ``chan_gain``: optional (3,)
+    per-channel gain; ``persp`` routes through the perspective kernel
+    with host ``h33``.
     """
-    h, w = int(img32.shape[0]), int(img32.shape[1])
+    h, w = int(img.shape[0]), int(img.shape[1])
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = (not persp and (on_tpu or PW._INTERPRET)
                   and PW.pallas_warp_supported(t_full))
@@ -118,9 +129,12 @@ def feed_frame(cv, img32, seam_mask, t_full: np.ndarray, tlx: int,
         params = jnp.zeros((8,), jnp.float32)
         ny = nx = 1
         ph, pw = h, w
+    if chan_gain is None:
+        chan_gain = np.ones(3, np.float32)
     return _feed_prog(
-        cv, img32,
+        cv, img,
         gain_m1 if gain_m1 is not None else jnp.asarray(_ZERO1),
+        jnp.asarray(chan_gain, jnp.float32),
         seam_mask, jnp.asarray(t_full),
         jnp.asarray(h33 if h33 is not None else np.eye(3, dtype=np.float32)),
         starts, params, tlx, tly, jnp.float32(gx), jnp.float32(gy),

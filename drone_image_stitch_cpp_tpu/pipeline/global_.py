@@ -219,20 +219,22 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     log.log("GlobalCustom", "seam scale", scale=round(seam_scale, 4),
             h=sh, w=sw)
 
-    # device-resident strips: transferred ONCE (uint8 across the wire),
-    # reused by the seam stage and every tile feed — per-(strip, tile)
-    # re-uploads of multi-hundred-MB strip panoramas dominated compose
+    # device-resident strips: transferred ONCE and kept UINT8 (ten 4K-tall
+    # strip panoramas as f32 alone exceed single-chip HBM; the fused feed
+    # converts + applies gains on the fly), reused by the seam stage and
+    # every tile feed
+    dev_strips = [jnp.asarray(st) for st in strips]
     to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
-    dev_strips = [to_f32(jnp.asarray(st)) for st in strips]
 
     seam_imgs, seam_masks = [], []
     for i in range(n):
         ts = jnp.asarray((ssc @ t_canvas[i]).astype(np.float32))
-        img32 = dev_strips[i]
+        img32 = to_f32(dev_strips[i])
         seam_imgs.append(warp_affine(img32, ts, sh, sw))
         seam_masks.append(warp_content_mask(
             nonblack_mask(img32, 2.0), ts, sh, sw,
             footprint_thresh=0.999))
+        del img32
 
     # ---- radiometric pre-equalization (:497-573) -------------------------
     gains = _gain_chain(seam_imgs, seam_masks, n, seam_scale)
@@ -271,6 +273,9 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     # graph-cut seams with DP fallback (reference ladder :616-627)
     seam_out = S.find_seams_sequential(comp_imgs, list(seam_masks), axes,
                                        method="graphcut")
+    # free the 8 MP seam-scale images/masks before the blend allocates
+    # tile pyramids (HBM headroom on a single chip)
+    del comp_imgs, seam_imgs, seam_masks
 
     # ---- multiband blend with soft masks (:632-666) ----------------------
     bands = B.num_blend_bands(tuning.blend_bands, canvas_h, canvas_w)
@@ -279,10 +284,6 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     if use_tiled:
         bands = min(bands, B.MAX_TILED_BANDS)
     log.log("GlobalCustom", "blend", bands=bands, tiled=use_tiled)
-    apply_gain = jax.jit(lambda a, g: a * g)
-    gained_strips = [apply_gain(dev_strips[i],
-                                jnp.asarray(total_gains[i]))
-                     for i in range(n)]
     _percall_cache: dict = {}
 
     def _on_dev(key, arr, like):
@@ -304,6 +305,10 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         bx1, by1 = boxes[i][2] - x0 - ox, boxes[i][3] - y0 - oy
         tlx, tly, rw_, rh_ = B.aligned_roi(bx0, by0, bx1, by1, bands,
                                            ch_, cw_)
+        # snap the origin to the 256 grid: bounds the fused-feed compile
+        # variants (see pipeline/strip.py feed_roi)
+        tlx, rw_ = B.align_down(tlx, 256), rw_ + tlx % 256
+        tly, rh_ = B.align_down(tly, 256), rh_ + tly % 256
         rw_b = B.align_down(min(B.align_up(rw_, 256), cw_ - tlx),
                             1 << bands)
         rh_b = B.align_down(min(B.align_up(rh_, 256), ch_ - tly),
@@ -312,10 +317,11 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         t_roi = np.asarray([[1, 0, -gx], [0, 1, -gy]], np.float32)
         t_full = np.asarray(compose_affine(
             jnp.asarray(t_roi), jnp.asarray(t_canvas[i])))
-        img32 = _on_dev(("img", i), gained_strips[i], cv.wacc[0])
+        img = _on_dev(("img", i), dev_strips[i], cv.wacc[0])
         sm = _on_dev(("seam", i), seam_out[i], cv.wacc[0])
-        return CF.feed_frame(cv, img32, sm, t_full, tlx, tly, gx, gy,
-                             seam_scale, rh_b, rw_b, mode="global")
+        return CF.feed_frame(cv, img, sm, t_full, tlx, tly, gx, gy,
+                             seam_scale, rh_b, rw_b, mode="global",
+                             chan_gain=total_gains[i])
 
     if use_tiled:
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
@@ -331,7 +337,7 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
                               canvas.wacc[0].shape[0],
                               canvas.wacc[0].shape[1])
         out, _ = B.mb_blend(canvas, canvas_h, canvas_w)
-        result = np.asarray(out).astype(np.uint8)
+        result = np.asarray(B.clip_u8(out))
     log.log("GlobalCustom", "composed",
             seconds=round(time.perf_counter() - t_start, 2))
     return result

@@ -195,12 +195,12 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
             return fast_warp(img, t23, oh, ow)
         return warp_affine(img, jnp.asarray(t23), oh, ow)
 
-    # device-resident frames: transferred ONCE (uint8 across the wire when
-    # possible, converted on device) and reused by the seam stage and every
-    # tile feed — re-uploading per (frame, tile) moved ~95 MB per 4K frame
-    # per tile over the host link and dominated compose wall-clock
+    # device-resident frames: transferred ONCE and kept UINT8 (the fused
+    # feed converts on the fly), reused by the seam stage and every tile
+    # feed — re-uploading per (frame, tile) moved ~95 MB per 4K frame per
+    # tile over the host link and dominated compose wall-clock
+    dev_imgs = [jnp.asarray(im) for im in images]
     to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
-    dev_imgs = [to_f32(jnp.asarray(im)) for im in images]
     _percall_cache: dict = {}
 
     def _on_dev(key, arr, like):
@@ -242,12 +242,13 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     seam_masks = []
     for i in range(n):
         ts = (ssc @ t_canvas[i]).astype(np.float32)
-        img32 = dev_imgs[i]
+        img32 = to_f32(dev_imgs[i])
         simg = _warp(img32, ts, sh, sw)
         smask = _warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
                       ts, sh, sw) >= 0.5
         seam_imgs.append(simg)
         seam_masks.append(smask)
+        del img32
 
     # exposure compensation at seam scale: BlocksGainCompensator analog —
     # scalar gains solved globally, modulated by per-block brightness
@@ -290,7 +291,11 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         tlx, tly, rw_, rh_ = B.aligned_roi(
             float(bx0), float(by0), float(bx1), float(by1), bands,
             ch_, cw_)
-        # bucket ROI dims to limit recompiles
+        # snap the ROI origin to the 256 grid THEN bucket dims: keeps the
+        # (rh, rw) bucket set tiny across tiles/strips (every new bucket
+        # costs a full compile of the fused feed program on the relay)
+        tlx, rw_ = B.align_down(tlx, 256), rw_ + tlx % 256
+        tly, rh_ = B.align_down(tly, 256), rh_ + tly % 256
         rw_b = min(B.align_up(rw_, 256), cw_ - tlx)
         rh_b = min(B.align_up(rh_, 256), ch_ - tly)
         rw_b = B.align_down(rw_b, 1 << bands)
@@ -326,7 +331,7 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
                               canvas.wacc[0].shape[0],
                               canvas.wacc[0].shape[1])
         out, valid = B.mb_blend(canvas, canvas_h, canvas_w)
-        return np.asarray(out).astype(np.uint8)
+        return np.asarray(B.clip_u8(out))
 
 
 def stitch_strip(images: List[np.ndarray],
