@@ -30,6 +30,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config.tuning import StitchTuning
@@ -104,14 +106,20 @@ def estimate_relations(images: List[np.ndarray], tuning: StitchTuning,
     graph = register_pairs(feats, pairs, ratio, thresh=4.0 / scale,
                            kind="similarity", seed=seed)
 
+    # ONE bulk fetch for every per-edge scalar (a per-edge int()/bool() here
+    # costs a full host<->device round-trip each -- ~80 ms on the remote
+    # relay, i.e. minutes over a 200-frame sortie's ~600 edges)
+    ok_h, ngood_h, ninl_h, models = jax.device_get(
+        (graph.ok, graph.n_good, graph.n_inliers, graph.model))
+    txs, tys, scs, rots = (np.asarray(v) for v in
+                           similarity_params(jnp.asarray(models[:, :2, :])))
     rels = []
-    models = np.asarray(graph.model)
     for k, (i, j) in enumerate(graph.pairs):
-        okk = bool(graph.ok[k])
-        m = models[k][:2, :]
-        tx, ty, sc, rot = (float(v) for v in similarity_params(m))
-        n_good = int(graph.n_good[k])
-        n_inl = int(graph.n_inliers[k])
+        okk = bool(ok_h[k])
+        tx, ty, sc, rot = (float(txs[k]), float(tys[k]), float(scs[k]),
+                           float(rots[k]))
+        n_good = int(ngood_h[k])
+        n_inl = int(ninl_h[k])
         r = n_inl / max(1, n_good)
         sane = (r >= _MIN_RATIO
                 and _SCALE_RANGE[0] <= sc <= _SCALE_RANGE[1]

@@ -284,14 +284,23 @@ def find_seams_sequential(images: list[jnp.ndarray],
             if y0 >= y1 or x0 >= x1:
                 continue  # bboxes disjoint -> no overlap, no work
             if method == "graphcut":
+                # fetch only the UNION bbox of the two masks (the solver
+                # needs the exclusive regions as terminals), bucketed to a
+                # 256 grid to bound shape variants; fetching full canvases
+                # moved ~200 MB per pair over the remote relay
+                uy0 = min(bi[0], bj[0])
+                ux0 = min(bi[2], bj[2])
+                uy1 = min(h, uy0 + _align_up(max(bi[1], bj[1]) - uy0, 256))
+                ux1 = min(w, ux0 + _align_up(max(bi[3], bj[3]) - ux0, 256))
+                usl = (slice(uy0, uy1), slice(ux0, ux1))
                 got = graphcut_pairwise_seam(
-                    np.asarray(images[i]), np.asarray(images[j]),
-                    np.asarray(masks[i]), np.asarray(masks[j]))
+                    np.asarray(images[i][usl]), np.asarray(images[j][usl]),
+                    np.asarray(masks[i][usl]), np.asarray(masks[j][usl]))
                 if got is not None:
-                    masks[i] = jnp.asarray(got[0])
-                    masks[j] = jnp.asarray(got[1])
-                    boxes[i] = _mask_bbox(masks[i])
-                    boxes[j] = _mask_bbox(masks[j])
+                    masks[i] = masks[i].at[usl].set(jnp.asarray(got[0]))
+                    masks[j] = masks[j].at[usl].set(jnp.asarray(got[1]))
+                    # boxes stay at their pre-carve extents (masks only
+                    # shrink; see the DP note below)
                     continue
             ax = "vertical"
             if axes is not None:

@@ -52,7 +52,6 @@ from ..ops import features as F
 from ..ops import seam as S
 from ..ops.color import bgr_to_gray, nonblack_mask
 from ..ops.resize import scale_for_max_dim
-from ..ops.transform import compose_affine, transformed_bbox
 from ..ops.warp import warp_affine, warp_content_mask
 from ..runtime.logging import get_logger
 from .registration import detect_features
@@ -192,11 +191,18 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
 
     transforms, strips, _ = align_strips(strips, tuning, seed)
 
-    # canvas bbox over transformed corners (:439-458)
+    # canvas bbox over transformed corners (:439-458) — host numpy (a
+    # device dispatch per strip for (2,3) geometry is pure relay latency)
     boxes = []
     for st, t in zip(strips, transforms):
-        boxes.append(tuple(float(v) for v in transformed_bbox(
-            jnp.asarray(t[:2, :]), st.shape[0], st.shape[1])))
+        ih, iw = st.shape[:2]
+        t2 = np.asarray(t[:2, :], np.float32)
+        corners = np.asarray([[0.0, 0.0], [iw - 1.0, 0.0],
+                              [iw - 1.0, ih - 1.0], [0.0, ih - 1.0]],
+                             np.float32)
+        pts = corners @ t2[:, :2].T + t2[:, 2]
+        boxes.append((float(pts[:, 0].min()), float(pts[:, 1].min()),
+                      float(pts[:, 0].max()), float(pts[:, 1].max())))
     # integer origin: keep strip 0 pixel-aligned (see pipeline/strip.py)
     x0 = float(math.floor(min(b[0] for b in boxes)))
     y0 = float(math.floor(min(b[1] for b in boxes)))
@@ -205,10 +211,12 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     canvas_w = int(math.ceil(x1 - x0)) + 1
     canvas_h = int(math.ceil(y1 - y0)) + 1
     log.log("GlobalCustom", "canvas", h=canvas_h, w=canvas_w)
-    shift = np.asarray([[1, 0, -x0], [0, 1, -y0]], np.float32)
-    t_canvas = [np.asarray(compose_affine(jnp.asarray(shift),
-                                          jnp.asarray(t[:2, :])))
-                for t in transforms]
+    t_canvas = []
+    for t in transforms:
+        tc = np.asarray(t[:2, :], np.float32).copy()
+        tc[0, 2] -= x0
+        tc[1, 2] -= y0
+        t_canvas.append(tc)
 
     # ---- seam-scale canvas (<=8 MP) --------------------------------------
     seam_scale = min(1.0, math.sqrt(_SEAM_CANVAS_MP * 1e6
@@ -314,9 +322,9 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         rh_b = B.align_down(min(B.align_up(rh_, 256), ch_ - tly),
                             1 << bands)
         gx, gy = ox + tlx, oy + tly
-        t_roi = np.asarray([[1, 0, -gx], [0, 1, -gy]], np.float32)
-        t_full = np.asarray(compose_affine(
-            jnp.asarray(t_roi), jnp.asarray(t_canvas[i])))
+        t_full = t_canvas[i].copy()
+        t_full[0, 2] -= gx
+        t_full[1, 2] -= gy
         img = _on_dev(("img", i), dev_strips[i], cv.wacc[0])
         sm = _on_dev(("seam", i), seam_out[i], cv.wacc[0])
         return CF.feed_frame(cv, img, sm, t_full, tlx, tly, gx, gy,

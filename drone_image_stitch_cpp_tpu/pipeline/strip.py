@@ -17,6 +17,7 @@ materializes per-frame canvases.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -30,7 +31,6 @@ from ..ops import match as M
 from ..ops import seam as S
 from ..ops.color import apply_channel_gains, nonblack_mask
 from ..ops.resize import resize_area, resize_linear, scale_for_megapixels
-from ..ops.transform import compose_affine, h3_to_affine, transformed_bbox
 from ..ops.warp import warp_affine, warp_perspective
 from ..ops.pallas_warp import warp_affine as fast_warp
 from ..runtime.logging import get_logger
@@ -41,6 +41,32 @@ from .pairgraph import (PairGraph, banded_pairs, all_pairs,
 from .registration import detect_features
 
 _LOWE_RATIO = 0.75
+
+
+@functools.partial(jax.jit, static_argnames=("sh", "sw", "persp"))
+def _seam_warp_batch(imgs: jnp.ndarray, ts: jnp.ndarray, sh: int, sw: int,
+                     persp: bool):
+    """All frames' seam-scale warps (image + content mask) in ONE dispatch.
+
+    ``imgs``: (N, H, W, 3) uint8/f32 same-sized frames; ``ts``: (N, 2, 3)
+    frame->seam-canvas affines. A per-frame loop here costs 2N relay
+    round-trips (~80 ms each); the vmapped program costs one.
+    """
+
+    def one(img, t):
+        img32 = img.astype(jnp.float32)
+        mask32 = nonblack_mask(img32, -1.0).astype(jnp.float32)
+        if persp:
+            h33 = jnp.concatenate(
+                [t, jnp.asarray([[0.0, 0.0, 1.0]], t.dtype)])
+            simg = warp_perspective(img32, h33, sh, sw)
+            smask = warp_perspective(mask32, h33, sh, sw)
+        else:
+            simg = warp_affine(img32, t, sh, sw)
+            smask = warp_affine(mask32, t, sh, sw)
+        return simg, smask >= 0.5
+
+    return jax.vmap(one)(imgs, ts)
 
 
 class StripStitchError(RuntimeError):
@@ -214,22 +240,30 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
             _percall_cache[ck] = jax.device_put(arr, dev)
         return _percall_cache[ck]
 
-    # canvas bbox over all transformed corners
-    boxes = [np.asarray(transformed_bbox(jnp.asarray(t), im.shape[0],
-                                         im.shape[1]))
-             for t, im in zip(jnp.asarray(transforms), images)]
+    # canvas bbox over all transformed corners — host numpy throughout
+    # (a per-frame device dispatch for (2,3) geometry costs an ~80 ms relay
+    # round-trip each; N frames x 2 loops was seconds of pure latency)
+    tf = np.asarray(transforms, np.float32)
+    boxes = []
+    for t, im in zip(tf, images):
+        ih, iw = im.shape[:2]
+        corners = np.asarray([[0.0, 0.0], [iw - 1.0, 0.0],
+                              [iw - 1.0, ih - 1.0], [0.0, ih - 1.0]],
+                             np.float32)
+        pts = corners @ t[:, :2].T + t[:, 2]
+        boxes.append((pts[:, 0].min(), pts[:, 1].min(),
+                      pts[:, 0].max(), pts[:, 1].max()))
     # integer canvas origin: a fractional shift would resample every frame
     # (frame 0 included) and blur the whole mosaic by a sub-pixel offset
-    x0 = float(np.floor(min(float(b[0]) for b in boxes)))
-    y0 = float(np.floor(min(float(b[1]) for b in boxes)))
+    x0 = float(np.floor(min(b[0] for b in boxes)))
+    y0 = float(np.floor(min(b[1] for b in boxes)))
     x1 = max(float(b[2]) for b in boxes)
     y1 = max(float(b[3]) for b in boxes)
     canvas_w = int(np.ceil(x1 - x0)) + 1
     canvas_h = int(np.ceil(y1 - y0)) + 1
-    shift = np.asarray([[1, 0, -x0], [0, 1, -y0]], np.float32)
-    t_canvas = [np.asarray(compose_affine(jnp.asarray(shift),
-                                          jnp.asarray(t)))
-                for t in transforms]
+    shift3 = np.asarray([[1, 0, -x0], [0, 1, -y0], [0, 0, 1]], np.float32)
+    t_canvas = [(shift3 @ np.vstack([t, [0.0, 0.0, 1.0]]))[:2].astype(
+        np.float32) for t in tf]
     log.log(stage, "canvas", h=canvas_h, w=canvas_w)
 
     # ---- seam scale work -------------------------------------------------
@@ -238,17 +272,25 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     sw = max(1, int(round(canvas_w * seam_scale)))
     ssc = np.diag([seam_scale, seam_scale]).astype(np.float32)
 
-    seam_imgs = []
-    seam_masks = []
-    for i in range(n):
-        ts = (ssc @ t_canvas[i]).astype(np.float32)
-        img32 = to_f32(dev_imgs[i])
-        simg = _warp(img32, ts, sh, sw)
-        smask = _warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
-                      ts, sh, sw) >= 0.5
-        seam_imgs.append(simg)
-        seam_masks.append(smask)
-        del img32
+    if len({im.shape for im in images}) == 1 and n > 1:
+        ts_all = jnp.asarray(np.stack(
+            [(ssc @ t_canvas[i]).astype(np.float32) for i in range(n)]))
+        simgs, smasks = _seam_warp_batch(jnp.stack(dev_imgs), ts_all,
+                                         sh, sw, persp)
+        seam_imgs = [simgs[i] for i in range(n)]
+        seam_masks = [smasks[i] for i in range(n)]
+    else:
+        seam_imgs = []
+        seam_masks = []
+        for i in range(n):
+            ts = (ssc @ t_canvas[i]).astype(np.float32)
+            img32 = to_f32(dev_imgs[i])
+            simg = _warp(img32, ts, sh, sw)
+            smask = _warp(nonblack_mask(img32, -1.0).astype(jnp.float32),
+                          ts, sh, sw) >= 0.5
+            seam_imgs.append(simg)
+            seam_masks.append(smask)
+            del img32
 
     # exposure compensation at seam scale: BlocksGainCompensator analog —
     # scalar gains solved globally, modulated by per-block brightness
@@ -302,9 +344,10 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         rh_b = B.align_down(rh_b, 1 << bands)
 
         gx, gy = ox + tlx, oy + tly     # global canvas offsets of the ROI
-        t_roi = (np.asarray([[1, 0, -gx], [0, 1, -gy]], np.float32))
-        t_full = np.asarray(compose_affine(jnp.asarray(t_roi),
-                                           jnp.asarray(t_canvas[i])))
+        t_full = np.vstack([t_canvas[i], [0.0, 0.0, 1.0]]).astype(np.float32)
+        t_full[0, 2] -= gx
+        t_full[1, 2] -= gy
+        t_full = t_full[:2]
         img32 = _on_dev(("img", i), dev_imgs[i], cv.wacc[0])
         sm = _on_dev(("seam", i), seam_masks[i], cv.wacc[0])
         gm = (_on_dev(("gain", i), gain_m1_list[i], cv.wacc[0])
