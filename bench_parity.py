@@ -77,10 +77,15 @@ def main():
                     help="also run the 45-frame config")
     ap.add_argument("--tiny", action="store_true",
                     help="only the tiny CI config")
+    ap.add_argument("--only", choices=sorted(CONFIGS),
+                    help="run a single named config")
     args = ap.parse_args()
 
-    names = (["tiny-8f"] if args.tiny
-             else ["10-frame"] + (["45-frame"] if args.full else []))
+    if args.only:
+        names = [args.only]
+    else:
+        names = (["tiny-8f"] if args.tiny
+                 else ["10-frame"] + (["45-frame"] if args.full else []))
     for name in names:
         print(json.dumps(run_config(name, args.work)))
 

@@ -118,6 +118,10 @@ def main():
         return feats.desc.sum() + feats.xy.sum()
 
     probes = {
+        # relay/dispatch floor: one trivial dispatch + scalar fetch. On the
+        # remote-TPU tunnel this is pure round-trip latency (device work is
+        # a ~0.3 ms HBM read); subtract it mentally from every stage.
+        "null": jax.jit(lambda f: f.sum()),
         "prep": jax.jit(lambda f: prep(f).sum()),
         "scale_space": jax.jit(scale_space),
         "extrema": jax.jit(extrema),
