@@ -52,7 +52,10 @@ def bench_tpu(frames):
         detect_and_describe_batched)
     from drone_image_stitch_cpp_tpu.ops import match as M
     from drone_image_stitch_cpp_tpu.ops import ransac as R
+    from drone_image_stitch_cpp_tpu.runtime.device import (
+        enable_compile_cache)
 
+    enable_compile_cache()
     log(f"jax backend: {jax.default_backend()} devices: {jax.devices()}")
     scale = scale_for_megapixels(FRAME_H, FRAME_W, REG_MPX)
     wh = int(round(FRAME_H * scale))

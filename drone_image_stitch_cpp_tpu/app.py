@@ -86,9 +86,11 @@ def _undistort_if_ready(images: List[np.ndarray], tuning: StitchTuning,
 
 def _log_runtime_options(tuning: StitchTuning) -> None:
     """Reference: logRuntimeOptions (stitch_app.cpp:82-113)."""
-    from .runtime.device import describe_devices, select_backend
+    from .runtime.device import (describe_devices, enable_compile_cache,
+                                 select_backend)
     log = get_logger()
     backend = select_backend(tuning.use_opencl and tuning.try_gpu)
+    enable_compile_cache()
     log.log("Main", "devices", backend=backend,
             devices=describe_devices())
     from .config.tuning import tuning_as_dict

@@ -147,6 +147,31 @@ def pyramid_bytes(canvas_h: int, canvas_w: int, bands: int) -> int:
 TILED_THRESHOLD_BYTES = 512 << 20
 TILE = 4096
 MAX_TILED_BANDS = 8  # halo is 8*2^bands: bands>8 would need multi-km halos
+# per-tile ext-window pyramid budget. The halo grows with 2^bands, so high
+# band counts inflate the ext window (tile + 2*halo): at bands=8 an 8192^2
+# ext pyramid is ~1.4 GB and one fused feed's warp+pyramid transients run
+# ~4x that — the 200-frame 4K sortie's 383 MP global canvas OOMed a 16 GB
+# chip this way. Shrinking bands shrinks the halo quadratically; the
+# band-count downgrade mirrors the reference's own canvas-size-adaptive
+# degradation ladder (stitch_global.cpp:307-326).
+TILE_PYR_BUDGET_BYTES = 640 << 20
+
+
+def tiled_bands(canvas_h: int, canvas_w: int, bands: int,
+                tile: int | None = None) -> int:
+    """Largest band count whose per-tile ext-window pyramid fits budget."""
+    bands = min(bands, MAX_TILED_BANDS)
+    tile = tile if tile is not None else TILE
+    while bands > 1:
+        g = 1 << bands
+        halo = 8 << bands
+        t = align_up(tile, g)
+        ext_h = min(t + 2 * halo, align_up(canvas_h, g))
+        ext_w = min(t + 2 * halo, align_up(canvas_w, g))
+        if pyramid_bytes(ext_h, ext_w, bands) <= TILE_PYR_BUDGET_BYTES:
+            break
+        bands -= 1
+    return bands
 
 
 def mb_tile_grid(canvas_h: int, canvas_w: int, bands: int,
@@ -187,7 +212,7 @@ def mb_tile_grid(canvas_h: int, canvas_w: int, bands: int,
 
 def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                      frame_boxes, feed_tile, tile: int | None = None,
-                     devices=None):
+                     devices=None, on_frame_retired=None):
     """Stream a multiband blend through canvas tiles (HBM-bounded).
 
     ``frame_boxes``: per-frame (x0, y0, x1, y1) canvas-space bounds (host
@@ -205,17 +230,29 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
     ``mesh.devices.flat``) tiles round-robin across chips and dispatch
     asynchronously; fetches are deferred a few tiles behind dispatch so
     device compute overlaps host-side mosaic assembly on any device count.
+
+    ``on_frame_retired(i)``: called once no remaining tile intersects
+    frame i — callers drop that frame's device residence (HBM headroom
+    on wide mosaics where early strips finish long before the last tile).
     """
     import contextlib
 
     import numpy as np
 
-    bands = min(bands, MAX_TILED_BANDS)
+    bands = tiled_bands(canvas_h, canvas_w, bands, tile)
     tiles, _ = mb_tile_grid(canvas_h, canvas_w, bands, tile)
     out = np.zeros((canvas_h, canvas_w, 3), np.uint8)
     devices = list(devices) if devices is not None else [None]
-    depth = max(2, len([d for d in devices if d is not None]))
+    # in-flight cap = device count: each pending entry keeps a whole
+    # tile's feed transients allocatable ahead of execution; on a single
+    # chip more than one queued tile risks RESOURCE_EXHAUSTED
+    depth = max(1, len([d for d in devices if d is not None]))
     pending = []
+    last_tile = {}
+    for t_idx, (_, _, _, _, ey0, ey1, ex0, ex1) in enumerate(tiles):
+        for i, (fx0, fy0, fx1, fy1) in enumerate(frame_boxes):
+            if not (fx1 <= ex0 or fx0 >= ex1 or fy1 <= ey0 or fy0 >= ey1):
+                last_tile[i] = t_idx
 
     def materialize(entry):
         # fetch uint8, not float32: tile cores are ~100 MB f32 at 4K strip
@@ -242,6 +279,12 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                 pending.append((cy0, cy1, cx0, cx1,
                                 clip_u8(img[cy0 - ey0:cy1 - ey0,
                                             cx0 - ex0:cx1 - ex0])))
+        if on_frame_retired is not None:
+            # feeds are enqueued; JAX keeps donated/arg buffers alive until
+            # execution, so the caller may drop its references now
+            for i, lt in last_tile.items():
+                if lt == t_idx:
+                    on_frame_retired(i)
         while len(pending) > depth:
             materialize(pending.pop(0))
     for entry in pending:

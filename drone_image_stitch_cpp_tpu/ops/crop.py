@@ -39,7 +39,23 @@ def content_bbox(img: jnp.ndarray, thresh: float = 1.0):
 
 def auto_crop_black_border(img_np: np.ndarray, thresh: float = 1.0
                            ) -> np.ndarray:
-    """Host-side crop (dynamic output shape => runs after device fetch)."""
-    y0, y1, x0, x1 = (int(v) for v in content_bbox(jnp.asarray(img_np),
-                                                   thresh))
+    """Host-side crop (dynamic output shape => runs after device fetch).
+
+    Pure numpy: the input already lives in host RAM, and the reductions
+    are trivially bandwidth-bound — shipping a gigabyte-scale mosaic back
+    to the device over the remote relay just to find a bbox costs minutes.
+    """
+    if img_np.ndim == 3:
+        # uint8 BGR gray-equivalent threshold: any channel above the
+        # threshold implies gray > thresh for the black-vs-content test
+        # (BT.601 weights are all positive; mosaic borders are exact 0)
+        mask = (img_np > thresh).any(axis=2)
+    else:
+        mask = img_np > thresh
+    rows = mask.any(axis=1)
+    cols = mask.any(axis=0)
+    if not rows.any():
+        return np.ascontiguousarray(img_np)
+    y0, y1 = np.argmax(rows), len(rows) - np.argmax(rows[::-1])
+    x0, x1 = np.argmax(cols), len(cols) - np.argmax(cols[::-1])
     return np.ascontiguousarray(img_np[y0:y1, x0:x1])

@@ -153,7 +153,15 @@ def _extrema_candidates(dog: jnp.ndarray, prelim_thresh: float, k: int,
     score = jnp.where(is_ext & border, jnp.abs(dog), -1.0)
     flat = score.reshape(-1)
     k = min(k, flat.shape[0])  # tiny top octaves have fewer pixels than K
-    top, idx = jax.lax.top_k(flat, k)
+    if jax.default_backend() == "tpu" and flat.shape[0] > 4 * k:
+        # exact top_k sorts the full octave (2.3M elements for a 0.45 MP
+        # frame) and dominates the extrema stage on TPU; approx_max_k is
+        # the TPU-native bucketed reduction. Candidates are thresholded
+        # extrema far over-subscribing the budget, so ~2% recall loss on
+        # the weakest candidates does not change the selected keypoints.
+        top, idx = jax.lax.approx_max_k(flat, k, recall_target=0.98)
+    else:
+        top, idx = jax.lax.top_k(flat, k)
     ls = idx // (h * w)
     ys = (idx % (h * w)) // w
     xs = idx % w

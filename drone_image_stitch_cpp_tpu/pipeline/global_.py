@@ -290,7 +290,7 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     use_tiled = (B.pyramid_bytes(canvas_h, canvas_w, bands)
                  > B.TILED_THRESHOLD_BYTES)
     if use_tiled:
-        bands = min(bands, B.MAX_TILED_BANDS)
+        bands = B.tiled_bands(canvas_h, canvas_w, bands)
     log.log("GlobalCustom", "blend", bands=bands, tiled=use_tiled)
     _percall_cache: dict = {}
 
@@ -334,10 +334,20 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     if use_tiled:
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
                        for b in boxes]
+
+        def retire(i):
+            # drop the strip's device residence once no later tile can
+            # touch it (HBM headroom: ten 4K-tall strips are ~1.7 GB)
+            dev_strips[i] = None
+            seam_out[i] = None
+            for ck in [k for k in _percall_cache
+                       if k[0][1] == i]:
+                del _percall_cache[ck]
+
         result = B.mb_compose_tiled(
             canvas_h, canvas_w, bands, frame_boxes, feed_roi,
             devices=(list(mesh.devices.flat) if mesh is not None
-                     else None))
+                     else None), on_frame_retired=retire)
     else:
         canvas = B.mb_prepare(canvas_h, canvas_w, bands)
         for i in range(n):

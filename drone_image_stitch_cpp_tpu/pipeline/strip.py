@@ -316,7 +316,7 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     use_tiled = (B.pyramid_bytes(canvas_h, canvas_w, bands)
                  > B.TILED_THRESHOLD_BYTES)
     if use_tiled:
-        bands = min(bands, B.MAX_TILED_BANDS)
+        bands = B.tiled_bands(canvas_h, canvas_w, bands)
         log.log(stage, "tiled compose",
                 tiles=len(B.mb_tile_grid(canvas_h, canvas_w, bands)[0]),
                 bands=bands)

@@ -16,6 +16,32 @@ from typing import List
 from .logging import get_logger
 
 
+def enable_compile_cache() -> None:
+    """Backend-keyed persistent XLA compilation cache.
+
+    Over the remote-TPU relay a single large jit compile takes minutes;
+    a fresh process (flagship bench, CLI run) otherwise pays every
+    compile again. Keyed by backend so TPU and host-CPU executables never
+    share a directory (mixed machine features in one cache dir can
+    SIGILL on deserialization). No-op if the user already configured a
+    cache (JAX_COMPILATION_CACHE_DIR or jax.config)."""
+    import os
+    import jax
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        backend = jax.default_backend()
+        jax.config.update("jax_compilation_cache_dir",
+                          f"/tmp/jax_cache_{backend}")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        get_logger().log("Device", "compile cache unavailable",
+                         error=str(e))
+
+
 def describe_devices() -> List[str]:
     import jax
     try:

@@ -138,3 +138,64 @@ def test_autocrop_all_black():
     img = np.zeros((50, 60, 3), np.uint8)
     out = auto_crop_black_border(img)
     assert out.shape == (50, 60, 3)
+
+
+def test_tiled_bands_memory_plan():
+    """Tiled composes shrink bands until the per-tile ext-window pyramid
+    fits the HBM budget: the 200-frame sortie's 383 MP global canvas at
+    bands=8 means an 8192^2 ext window (~1.4 GB pyramid + ~4x feed
+    transients) — the configuration that OOMed a 16 GB chip."""
+    # flagship global canvas: must downgrade below 8
+    b = B.tiled_bands(14877, 25776, 8)
+    assert b < 8
+    g, halo = 1 << b, 8 << b
+    ext = min(B.align_up(B.TILE, g) + 2 * halo, B.align_up(25776, g))
+    assert B.pyramid_bytes(ext, ext, b) <= B.TILE_PYR_BUDGET_BYTES
+    # strip canvases (short and wide) keep their configured bands
+    assert B.tiled_bands(2176, 25692, 5) == 5
+    # small canvases: clamped by MAX_TILED_BANDS only
+    assert B.tiled_bands(512, 512, 11) == B.MAX_TILED_BANDS
+
+
+def test_tiled_compose_retires_frames_after_last_tile():
+    """on_frame_retired fires exactly once per frame, only after every
+    tile intersecting that frame has been fed (so callers may drop the
+    frame's device residence), and does not perturb the mosaic."""
+    import jax
+
+    bands = 2
+    ch, cw = 128, 512
+    frames = [np.full((96, 160, 3), 60.0 + 40.0 * i, np.float32)
+              for i in range(3)]
+    offs = [(0.0, 8.0), (144.0, 8.0), (288.0, 8.0)]
+    boxes = [(ox, oy, ox + f.shape[1], oy + f.shape[0])
+             for (ox, oy), f in zip(offs, frames)]
+    feed = jax.jit(B.mb_feed, donate_argnums=0)
+    retired: list[int] = []
+
+    def feed_roi(cv, i, oy, ox, eh, ew):
+        assert i not in retired, f"frame {i} fed after retirement"
+        fx0, fy0, fx1, fy1 = boxes[i]
+        tlx, tly, rw_, rh_ = B.aligned_roi(fx0 - ox, fy0 - oy,
+                                           fx1 - ox, fy1 - oy, bands,
+                                           eh, ew)
+        # paste the (possibly clipped) frame into the ROI patch
+        ry, rx = oy + tly, ox + tlx
+        y0c, y1c = max(int(fy0), ry), min(int(fy1), ry + rh_)
+        x0c, x1c = max(int(fx0), rx), min(int(fx1), rx + rw_)
+        img = jnp.zeros((rh_, rw_, 3), jnp.float32)
+        img = img.at[y0c - ry:y1c - ry, x0c - rx:x1c - rx].set(
+            jnp.asarray(frames[i][y0c - int(fy0):y1c - int(fy0),
+                                  x0c - int(fx0):x1c - int(fx0)]))
+        m = (img.sum(-1) > 0).astype(jnp.float32)
+        return feed(cv, img, m, tlx, tly, m > 0)
+
+    out_plain = B.mb_compose_tiled(ch, cw, bands, boxes, feed_roi,
+                                   tile=128)
+    out = B.mb_compose_tiled(ch, cw, bands, boxes, feed_roi,
+                             tile=128, on_frame_retired=retired.append)
+    assert sorted(retired) == [0, 1, 2]
+    assert np.array_equal(out, out_plain)
+    # every frame produced content
+    for i, (ox, oy) in enumerate(offs):
+        assert out[int(oy) + 48, int(ox) + 80].sum() > 0, i

@@ -44,7 +44,11 @@ def log(*a):
 
 
 def main():
+    from drone_image_stitch_cpp_tpu.runtime.device import (
+        enable_compile_cache)
     from drone_image_stitch_cpp_tpu.utils.synthetic import synthetic_ortho
+
+    enable_compile_cache()
     big = synthetic_ortho(h=FRAME_H + 64 * N_FRAMES,
                           w=FRAME_W + 256 * N_FRAMES, seed=3)
     gray = (0.114 * big[..., 0] + 0.587 * big[..., 1]
