@@ -59,7 +59,7 @@ def main():
     if not args.skip_ours:
         import jax
         out["backend"] = jax.default_backend()
-        secs, mosaic, rc = run_ours(root, f"{root}/_ours")
+        secs, mosaic, rc = run_ours(root, f"{root}/_ours", retries=2)
         if rc != 0 or mosaic is None:
             raise SystemExit(f"[sortie] our run failed rc={rc}")
         r, _, _ = gt_rmse(mosaic, gt, max_dim=6000)

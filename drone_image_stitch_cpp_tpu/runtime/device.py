@@ -28,6 +28,8 @@ def enable_compile_cache() -> None:
     import os
     import jax
 
+    raise_map_limit()  # every enable_compile_cache caller is a long
+    # compile-heavy run, exactly the workload that exhausts mappings
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
     try:
@@ -40,6 +42,32 @@ def enable_compile_cache() -> None:
     except Exception as e:
         get_logger().log("Device", "compile cache unavailable",
                          error=str(e))
+
+
+def raise_map_limit(target: int = 262144) -> None:
+    """Raise vm.max_map_count when permitted (best-effort, root-only).
+
+    XLA:CPU accumulates thousands of memory mappings per compiled
+    executable (LLVM JIT code/data sections + mmap'd buffers): a long
+    CPU-backend run that compiles hundreds of programs (the test suite, a
+    big sortie on the CPU fallback) crosses the Linux default of 65530
+    mappings and the process dies with SIGABRT/SIGSEGV deep inside the
+    next compile — observed twice at the exact same test. Raising the
+    sysctl is the cheap system-level guard; jax.clear_caches() at stage
+    boundaries is the in-process one.
+    """
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            cur = int(f.read().strip())
+        if cur >= target:
+            return
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write(str(target))
+        get_logger().log("Device", "raised vm.max_map_count",
+                         old=cur, new=target)
+    except (OSError, ValueError):
+        pass  # not privileged / not Linux — the per-module cache clears
+              # in tests and the app's bounded program count cover it
 
 
 def describe_devices() -> List[str]:

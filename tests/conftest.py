@@ -43,6 +43,22 @@ assert len(jax.devices("cpu")) == 8, (
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# XLA:CPU accumulates thousands of memory mappings per live compiled
+# executable; the full suite crosses Linux's default vm.max_map_count
+# (65530) and dies with SIGABRT/SIGSEGV inside an unrelated late compile.
+# Raise the sysctl when privileged, and clear JAX's executable caches
+# between test modules so mapping count stays bounded regardless.
+from drone_image_stitch_cpp_tpu.runtime.device import (  # noqa: E402
+    raise_map_limit)
+
+raise_map_limit()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_process_mappings():
+    yield
+    jax.clear_caches()
+
 
 @pytest.fixture(scope="session")
 def rng():

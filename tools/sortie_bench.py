@@ -157,17 +157,30 @@ def run_reference(input_root: str, timeout: float = 7200):
     return secs, mosaic, rc
 
 
-def run_ours(input_root: str, out_root: str):
-    """End-to-end run of this framework; returns (seconds, mosaic, rc)."""
+def run_ours(input_root: str, out_root: str, retries: int = 0):
+    """End-to-end run of this framework; returns (seconds, mosaic, rc).
+
+    ``retries``: re-attempts after a non-zero exit (e.g. a remote-relay
+    blip on a long flagship run), resuming the global stage from the
+    strip checkpoint (app.py --resume) so completed strips are not
+    re-stitched. Wall-clock accumulates across attempts.
+    """
     import cv2
     from drone_image_stitch_cpp_tpu.app import (RunConfig,
                                                 run_stitch_application)
 
     shutil.rmtree(out_root, ignore_errors=True)
-    cfg = RunConfig(image_folder=input_root, image_type="visible",
-                    group="minfull", output_root=out_root)
     t0 = time.perf_counter()
-    rc = run_stitch_application(cfg)
+    for attempt in range(retries + 1):
+        cfg = RunConfig(image_folder=input_root, image_type="visible",
+                        group="minfull", output_root=out_root,
+                        resume=attempt > 0)
+        rc = run_stitch_application(cfg)
+        if rc == 0:
+            break
+        if attempt < retries:
+            log(f"[ours] rc={rc}; retrying with --resume "
+                f"({attempt + 1}/{retries})")
     secs = time.perf_counter() - t0
     mosaic = cv2.imread(cfg.output_path, cv2.IMREAD_COLOR) \
         if os.path.exists(cfg.output_path) else None
