@@ -54,10 +54,32 @@ from drone_image_stitch_cpp_tpu.runtime.device import (  # noqa: E402
 raise_map_limit()
 
 
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+def _map_limit() -> int:
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 65530
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_process_mappings():
     yield
-    jax.clear_caches()
+    # clear only under real pressure: unconditional clearing re-compiles
+    # shared executables in every later module (~+60 s/module). 60% of
+    # the limit leaves a full module of headroom (largest observed
+    # single-module growth ~12k of the 65530 default); when
+    # raise_map_limit succeeded the threshold is never reached.
+    if _map_count() > 0.6 * _map_limit():
+        jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
