@@ -84,14 +84,23 @@ def _undistort_if_ready(images: List[np.ndarray], tuning: StitchTuning,
     return out
 
 
+def _init_runtime(tuning: StitchTuning) -> None:
+    """Backend selection + compile cache + mapping-limit raise.
+
+    Explicit init step (NOT buried in logging): it mutates process-global
+    JAX config and, when privileged, a kernel sysctl."""
+    from .runtime.device import enable_compile_cache, select_backend
+    select_backend(tuning.use_opencl and tuning.try_gpu)
+    enable_compile_cache()
+
+
 def _log_runtime_options(tuning: StitchTuning) -> None:
     """Reference: logRuntimeOptions (stitch_app.cpp:82-113)."""
-    from .runtime.device import (describe_devices, enable_compile_cache,
-                                 select_backend)
+    import jax
+
+    from .runtime.device import describe_devices
     log = get_logger()
-    backend = select_backend(tuning.use_opencl and tuning.try_gpu)
-    enable_compile_cache()
-    log.log("Main", "devices", backend=backend,
+    log.log("Main", "devices", backend=jax.default_backend(),
             devices=describe_devices())
     from .config.tuning import tuning_as_dict
     log.log("Main", "tuning", **tuning_as_dict(tuning))
@@ -111,6 +120,7 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         if cfg.tuning_overrides:
             tuning = tuning.replace(**cfg.tuning_overrides)
         os.makedirs(cfg.output_dir, exist_ok=True)
+        _init_runtime(tuning)
         _log_runtime_options(tuning)
 
         loaded = load_with_ids(cfg.input_dir)

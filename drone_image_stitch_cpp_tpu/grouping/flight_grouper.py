@@ -31,12 +31,10 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config.tuning import StitchTuning
 from ..ops.match import adaptive_ratio
-from ..ops.transform import similarity_params
 from ..pipeline.pairgraph import gap_pairs, register_pairs
 from ..pipeline.registration import detect_features
 from ..runtime.logging import get_logger
@@ -111,8 +109,16 @@ def estimate_relations(images: List[np.ndarray], tuning: StitchTuning,
     # relay, i.e. minutes over a 200-frame sortie's ~600 edges)
     ok_h, ngood_h, ninl_h, models = jax.device_get(
         (graph.ok, graph.n_good, graph.n_inliers, graph.model))
-    txs, tys, scs, rots = (np.asarray(v) for v in
-                           similarity_params(jnp.asarray(models[:, :2, :])))
+    # decompose on host: shipping the fetched models back through jnp for
+    # ops/transform.similarity_params costs ~10 more relay round-trips for
+    # microseconds of math (same decomposition as
+    # visual_flight_grouper.cpp:190-199)
+    m = models[:, :2, :]
+    a_, b_ = m[:, 0, 0], m[:, 1, 0]
+    c_, d_ = m[:, 0, 1], m[:, 1, 1]
+    txs, tys = m[:, 0, 2], m[:, 1, 2]
+    scs = 0.5 * (np.hypot(a_, b_) + np.hypot(c_, d_))
+    rots = np.degrees(np.arctan2(b_, a_))
     rels = []
     for k, (i, j) in enumerate(graph.pairs):
         okk = bool(ok_h[k])

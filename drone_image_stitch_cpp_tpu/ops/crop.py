@@ -46,10 +46,15 @@ def auto_crop_black_border(img_np: np.ndarray, thresh: float = 1.0
     to the device over the remote relay just to find a bbox costs minutes.
     """
     if img_np.ndim == 3:
-        # uint8 BGR gray-equivalent threshold: any channel above the
-        # threshold implies gray > thresh for the black-vs-content test
-        # (BT.601 weights are all positive; mosaic borders are exact 0)
-        mask = (img_np > thresh).any(axis=2)
+        # fixed-point BT.601 gray (cv::cvtColor uses the same 8-bit
+        # fixed-point path), NOT an any-channel test: a (2,0,0) border
+        # pixel has gray 0.23 and must be cropped like the reference's
+        # gray>thresh does (stitch_common.cpp:9)
+        b, g, r = (img_np[..., 0].astype(np.uint32),
+                   img_np[..., 1].astype(np.uint32),
+                   img_np[..., 2].astype(np.uint32))
+        gray = (29 * b + 150 * g + 77 * r + 128) >> 8
+        mask = gray > thresh
     else:
         mask = img_np > thresh
     rows = mask.any(axis=1)

@@ -38,6 +38,36 @@ from ..ops.warp import warp_perspective
 _SOFT_MASK_SIGMA = 10.0  # reference :345
 
 
+def device_colocator():
+    """(on_dev, drop_frame) for mesh-tiled composes.
+
+    ``on_dev(key, arr, like)`` returns ``arr`` colocated with ``like``
+    (the tiled compose places each tile's canvas on its own device;
+    committed arrays must follow), caching one transfer per (key, device).
+    ``drop_frame(i)`` evicts every cached entry whose key tags frame i —
+    pair it with mb_compose_tiled's ``on_frame_retired`` so retired
+    frames release their per-device copies. Shared by
+    pipeline/strip.compose_strip and pipeline/global_ (identical inline
+    copies previously drifted apart by hand).
+    """
+    cache: dict = {}
+
+    def on_dev(key, arr, like):
+        dev = next(iter(like.devices()))
+        if next(iter(arr.devices())) == dev:
+            return arr
+        ck = (key, dev)
+        if ck not in cache:
+            cache[ck] = jax.device_put(arr, dev)
+        return cache[ck]
+
+    def drop_frame(i):
+        for ck in [k for k in cache if k[0][1] == i]:
+            del cache[ck]
+
+    return on_dev, drop_frame
+
+
 @functools.partial(
     jax.jit, donate_argnums=(0,),
     static_argnames=("rh", "rw", "ny", "nx", "ph", "pw", "use_pallas",

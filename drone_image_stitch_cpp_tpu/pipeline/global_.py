@@ -292,18 +292,7 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     if use_tiled:
         bands = B.tiled_bands(canvas_h, canvas_w, bands)
     log.log("GlobalCustom", "blend", bands=bands, tiled=use_tiled)
-    _percall_cache: dict = {}
-
-    def _on_dev(key, arr, like):
-        """``arr`` colocated with ``like`` (mesh-tiled compose places each
-        tile's canvas on its own device; committed arrays must follow)."""
-        dev = next(iter(like.devices()))
-        if next(iter(arr.devices())) == dev:
-            return arr
-        ck = (key, dev)
-        if ck not in _percall_cache:
-            _percall_cache[ck] = jax.device_put(arr, dev)
-        return _percall_cache[ck]
+    _on_dev, _drop_frame = CF.device_colocator()
 
     def feed_roi(cv, i, oy, ox, ch_, cw_):
         """Feed strip i into a canvas pyramid with origin (ox, oy) — ONE
@@ -340,9 +329,7 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
             # touch it (HBM headroom: ten 4K-tall strips are ~1.7 GB)
             dev_strips[i] = None
             seam_out[i] = None
-            for ck in [k for k in _percall_cache
-                       if k[0][1] == i]:
-                del _percall_cache[ck]
+            _drop_frame(i)
 
         result = B.mb_compose_tiled(
             canvas_h, canvas_w, bands, frame_boxes, feed_roi,

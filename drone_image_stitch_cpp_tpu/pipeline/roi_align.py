@@ -87,21 +87,26 @@ def roi_candidates(shape) -> List[Tuple[float, float, float, float]]:
     return rois
 
 
-def build_hyp_bank(cur_shape, ref_shape) -> np.ndarray:
-    """(N_HYP_MAX, 8) rows [cx0,cx1,cy0,cy1, rx0,rx1,ry0,ry1].
+def build_hyp_bank(cur_shape, ref_shape) -> Tuple[np.ndarray, int]:
+    """((N_HYP_MAX, 8) rows [cx0,cx1,cy0,cy1, rx0,rx1,ry0,ry1], n_real).
 
     The grid is ref x cur like the reference's nested loop (:271-272);
-    unused rows repeat the (full, full) pair — identical to hypothesis 0,
-    so padding never changes the argmax outcome.
+    unused rows repeat the (full, full) pair to keep the launch shape
+    static. Padded rows draw their own RANSAC keys on device, so they are
+    NOT score-equivalent to row 0 — callers must ignore rows >= n_real
+    (otherwise padding acts as extra restarts biased toward the
+    full-frame hypothesis and the pick varies with how many ROIs
+    survived dedup).
     """
     cur_rois = roi_candidates(cur_shape)
     ref_rois = roi_candidates(ref_shape)
     rows = [np.asarray(list(c) + list(r), np.float32)
             for r in ref_rois for c in cur_rois]
     rows = rows[:N_HYP_MAX]
+    n_real = len(rows)
     while len(rows) < N_HYP_MAX:
         rows.append(rows[0])
-    return np.stack(rows)
+    return np.stack(rows), n_real
 
 
 @jax.jit
@@ -169,7 +174,8 @@ def align_pair_banked(f_ref, s_ref, f_cur, f_cur_flip, ref_shape, cur_shape,
     flipped-cur coordinates into ref — exactly what compose applies to the
     flipped image.
     """
-    hyp = jnp.asarray(build_hyp_bank(cur_shape, ref_shape))
+    hyp_np, n_real = build_hyp_bank(cur_shape, ref_shape)
+    hyp = jnp.asarray(hyp_np)
     desc_c = jnp.stack([f_cur.desc[0], f_cur_flip.desc[0]])
     xy_c = jnp.stack([f_cur.xy[0], f_cur_flip.xy[0]])
     valid_c = jnp.stack([f_cur.valid[0], f_cur_flip.valid[0]])
@@ -182,6 +188,9 @@ def align_pair_banked(f_ref, s_ref, f_cur, f_cur_flip, ref_shape, cur_shape,
         (models, n_inl, n_good, ok))  # ONE sync for all 32 hypotheses
     mg = tuning.min_good_matches // 2
     mi = tuning.min_inliers // 2
-    direct = _pick_best(models[0], n_inl[0], n_good[0], ok[0], mg, mi)
-    flip = _pick_best(models[1], n_inl[1], n_good[1], ok[1], mg, mi)
+    # rows >= n_real are shape padding (see build_hyp_bank) — never score
+    direct = _pick_best(models[0][:n_real], n_inl[0][:n_real],
+                        n_good[0][:n_real], ok[0][:n_real], mg, mi)
+    flip = _pick_best(models[1][:n_real], n_inl[1][:n_real],
+                      n_good[1][:n_real], ok[1][:n_real], mg, mi)
     return direct, flip

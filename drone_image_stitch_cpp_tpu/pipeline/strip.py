@@ -49,8 +49,12 @@ def _seam_warp_batch(imgs: jnp.ndarray, ts: jnp.ndarray, sh: int, sw: int,
     """All frames' seam-scale warps (image + content mask) in ONE dispatch.
 
     ``imgs``: (N, H, W, 3) uint8/f32 same-sized frames; ``ts``: (N, 2, 3)
-    frame->seam-canvas affines. A per-frame loop here costs 2N relay
-    round-trips (~80 ms each); the vmapped program costs one.
+    frame->seam-canvas affines. A host per-frame loop costs 2N relay
+    round-trips (~80 ms each); this program costs one. lax.map (not vmap)
+    keeps the N full-res f32 conversions SEQUENTIAL inside the program —
+    a vmapped body lets XLA materialize all N converted frames at once
+    (~4 GB at 40 4K frames), re-creating the HBM spike the uint8
+    residency work avoids.
     """
 
     def one(img, t):
@@ -66,7 +70,7 @@ def _seam_warp_batch(imgs: jnp.ndarray, ts: jnp.ndarray, sh: int, sw: int,
             smask = warp_affine(mask32, t, sh, sw)
         return simg, smask >= 0.5
 
-    return jax.vmap(one)(imgs, ts)
+    return jax.lax.map(lambda a: one(*a), (imgs, ts))
 
 
 class StripStitchError(RuntimeError):
@@ -227,18 +231,7 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     # tile over the host link and dominated compose wall-clock
     dev_imgs = [jnp.asarray(im) for im in images]
     to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
-    _percall_cache: dict = {}
-
-    def _on_dev(key, arr, like):
-        """``arr`` colocated with ``like`` (mesh-tiled compose places each
-        tile's canvas on its own device; committed arrays must follow)."""
-        dev = next(iter(like.devices()))
-        if next(iter(arr.devices())) == dev:
-            return arr
-        ck = (key, dev)
-        if ck not in _percall_cache:
-            _percall_cache[ck] = jax.device_put(arr, dev)
-        return _percall_cache[ck]
+    _on_dev, _ = CF.device_colocator()
 
     # canvas bbox over all transformed corners — host numpy throughout
     # (a per-frame device dispatch for (2,3) geometry costs an ~80 ms relay

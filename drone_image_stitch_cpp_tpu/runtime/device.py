@@ -32,12 +32,22 @@ def enable_compile_cache() -> None:
     # compile-heavy run, exactly the workload that exhausts mappings
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
+    import tempfile
+
     try:
         if jax.config.jax_compilation_cache_dir:
             return
         backend = jax.default_backend()
-        jax.config.update("jax_compilation_cache_dir",
-                          f"/tmp/jax_cache_{backend}")
+        # per-user path: a world-shared /tmp cache dir would deserialize
+        # (execute) whatever another local user planted there
+        cache_dir = os.path.join(
+            tempfile.gettempdir(), f"jax_cache_{backend}_u{os.getuid()}")
+        legacy = os.path.join(tempfile.gettempdir(),
+                              f"jax_cache_{backend}")
+        if not os.path.exists(cache_dir) and os.path.isdir(legacy) \
+                and os.stat(legacy).st_uid == os.getuid():
+            os.rename(legacy, cache_dir)  # keep warm entries
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:
         get_logger().log("Device", "compile cache unavailable",

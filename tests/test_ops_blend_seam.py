@@ -140,6 +140,16 @@ def test_autocrop_all_black():
     assert out.shape == (50, 60, 3)
 
 
+def test_autocrop_near_black_border_uses_gray():
+    """The crop test is gray > thresh (stitch_common.cpp:9), not
+    any-channel: a (2,0,0) border pixel (gray 0.23) must be cropped."""
+    img = np.zeros((100, 120, 3), np.uint8)
+    img[20:80, 30:100] = 200
+    img[:, :2, 0] = 2        # blue-only noise band on the left border
+    out = auto_crop_black_border(img)
+    assert out.shape == (60, 70, 3)
+
+
 def test_tiled_bands_memory_plan():
     """Tiled composes shrink bands until the per-tile ext-window pyramid
     fits the HBM budget: the 200-frame sortie's 383 MP global canvas at

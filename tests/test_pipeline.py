@@ -170,7 +170,10 @@ def test_roi_candidates_reference_grid():
                     (160.0, 840.0, 30.0, 570.0)]
     # small strip: every sub-ROI is under 120 px wide -> full frame only
     assert roi_candidates((150, 150)) == [(0.0, 150.0, 0.0, 150.0)]
-    bank = build_hyp_bank((600, 1000), (600, 1000))
-    assert bank.shape == (16, 8)
+    bank, n_real = build_hyp_bank((600, 1000), (600, 1000))
+    assert bank.shape == (16, 8) and n_real == 16
     # row 0 is the (full, full) pair
     assert bank[0].tolist() == [0, 1000, 0, 600, 0, 1000, 0, 600]
+    # a tiny cur strip keeps only the full ROI -> 4 real rows, 12 padding
+    bank2, n2 = build_hyp_bank((150, 150), (600, 1000))
+    assert bank2.shape == (16, 8) and n2 == 4
