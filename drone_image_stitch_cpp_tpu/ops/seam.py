@@ -228,16 +228,34 @@ def graphcut_pairwise_seam(img_a, img_b, mask_a, mask_b):
     return new_a, new_b
 
 
-def _mask_bbox(mask) -> tuple[int, int, int, int] | None:
-    """(y0, y1, x0, x1) bounding the True region, or None when empty."""
+@jax.jit
+def _bbox_reduce(mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Row/col occupancy vectors of one mask — tiny device-side footprint."""
+    return mask.any(axis=1), mask.any(axis=0)
+
+
+def _mask_bboxes(masks) -> list[tuple[int, int, int, int] | None]:
+    """Bounding boxes for N same-shape canvas masks with ONE host fetch.
+
+    Fetching each full seam-scale mask costs ~8 MB x N over the remote
+    relay; reducing to (h,) + (w,) occupancy vectors on device and
+    fetching the stacked pair once keeps the transfer in the kilobytes.
+    """
     import numpy as np
 
-    m = np.asarray(mask)
-    ys = np.flatnonzero(m.any(axis=1))
-    if ys.size == 0:
-        return None
-    xs = np.flatnonzero(m.any(axis=0))
-    return int(ys[0]), int(ys[-1]) + 1, int(xs[0]), int(xs[-1]) + 1
+    reduced = [_bbox_reduce(m) for m in masks]
+    rows = np.asarray(jnp.stack([r for r, _ in reduced]))
+    cols = np.asarray(jnp.stack([c for _, c in reduced]))
+    boxes: list[tuple[int, int, int, int] | None] = []
+    for r, c in zip(rows, cols):
+        ys = np.flatnonzero(r)
+        if ys.size == 0:
+            boxes.append(None)
+            continue
+        xs = np.flatnonzero(c)
+        boxes.append((int(ys[0]), int(ys[-1]) + 1,
+                      int(xs[0]), int(xs[-1]) + 1))
+    return boxes
 
 
 def _align_up(v: int, m: int) -> int:
@@ -271,7 +289,7 @@ def find_seams_sequential(images: list[jnp.ndarray],
     n = len(images)
     masks = list(masks)
     h, w = images[0].shape[:2]
-    boxes = [_mask_bbox(m) for m in masks]
+    boxes = _mask_bboxes(masks)
     for i in range(n - 1):
         for j in range(i + 1, n):
             bi, bj = boxes[i], boxes[j]

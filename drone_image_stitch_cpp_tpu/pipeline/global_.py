@@ -134,6 +134,25 @@ def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
     return transforms, oriented, flipped
 
 
+@jax.jit
+def _pair_gain_stats(img_ref: jnp.ndarray, img_cur: jnp.ndarray,
+                     mask_ref: jnp.ndarray, mask_cur: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Overlap stats for one strip pair: [count, sum_ref(3), sum_cur(3)].
+
+    All seam-scale images share the canvas shape, so this compiles once;
+    the gain chain dispatches it per pair asynchronously and fetches the
+    stacked (n-1, 7) table in a single host round-trip (the relay charges
+    ~80 ms per fetch, so 3 fetches/pair was the old cost structure).
+    """
+    overlap = mask_ref & mask_cur
+    cnt = jnp.sum(overlap).astype(jnp.float32)
+    of = overlap[..., None]
+    s_ref = jnp.sum(jnp.where(of, img_ref, 0.0), axis=(0, 1))
+    s_cur = jnp.sum(jnp.where(of, img_cur, 0.0), axis=(0, 1))
+    return jnp.concatenate([cnt[None], s_ref, s_cur])
+
+
 def _gain_chain(seam_imgs: List[jnp.ndarray], seam_masks: List[jnp.ndarray],
                 n: int, seam_scale: float = 1.0) -> np.ndarray:
     """Cumulative clamped mean-ratio gains + geo-mean norm (:497-573).
@@ -144,22 +163,26 @@ def _gain_chain(seam_imgs: List[jnp.ndarray], seam_masks: List[jnp.ndarray],
     inheritance triggers below 1000 valid overlap pixels (full-res count —
     our masks live at seam scale, so the count is rescaled), and the
     geo-mean normalization divides only when the mean exceeds 0.01.
+
+    Device work is one async dispatch per pair + ONE fetch of the stacked
+    stat table; the chain/inheritance recurrence runs on host numpy.
     """
     log = get_logger()
     gains = np.ones((n, 3), np.float32)
     inv_area = 1.0 / max(seam_scale * seam_scale, 1e-12)
+    stats = np.asarray(jnp.stack(
+        [_pair_gain_stats(seam_imgs[i - 1], seam_imgs[i],
+                          seam_masks[i - 1], seam_masks[i])
+         for i in range(1, n)])) if n > 1 else np.zeros((0, 7), np.float32)
     for i in range(1, n):
-        overlap = seam_masks[i] & seam_masks[i - 1]
-        cnt = int(jnp.sum(overlap))
+        cnt = float(stats[i - 1, 0])
         if cnt * inv_area < _GAIN_MIN_OVERLAP:
             gains[i] = gains[i - 1]  # inheritance (:507-529)
-            log.log("GlobalCustom", f"gain inherit strip {i}", overlap=cnt)
+            log.log("GlobalCustom", f"gain inherit strip {i}",
+                    overlap=int(cnt))
             continue
-        of = overlap[..., None]
-        ref_mean = np.asarray(jnp.sum(
-            jnp.where(of, seam_imgs[i - 1], 0.0), axis=(0, 1))) / cnt
-        cur_mean = np.asarray(jnp.sum(
-            jnp.where(of, seam_imgs[i], 0.0), axis=(0, 1))) / cnt
+        ref_mean = stats[i - 1, 1:4] / cnt
+        cur_mean = stats[i - 1, 4:7] / cnt
         pw = np.ones(3, np.float32)
         bright = (ref_mean > 5.0) & (cur_mean > 5.0)  # dark guard (:538)
         pw[bright] = np.clip(ref_mean[bright] / cur_mean[bright],
@@ -167,7 +190,7 @@ def _gain_chain(seam_imgs: List[jnp.ndarray], seam_masks: List[jnp.ndarray],
         gains[i] = gains[i - 1] * pw
         log.log("GlobalCustom", f"gain strip {i}",
                 pw=np.round(pw, 3).tolist(),
-                cum=np.round(gains[i], 3).tolist(), overlap=cnt)
+                cum=np.round(gains[i], 3).tolist(), overlap=int(cnt))
     # geometric-mean normalization (:551-560)
     geo = np.exp(np.log(np.maximum(gains, 1e-6)).mean(axis=0))
     gains = gains / np.where(geo > 0.01, geo, 1.0)
