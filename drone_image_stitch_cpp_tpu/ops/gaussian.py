@@ -30,27 +30,27 @@ def gaussian_kernel1d(sigma: float, radius: int | None = None) -> np.ndarray:
     return k.astype(np.float32)
 
 
-def _conv1d_along(img: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Depthwise 1-D convolution with REFLECT_101 (OpenCV default) padding."""
-    r = taps.shape[0] // 2
-    x = img
+def _conv1d_along(img: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
+    """Depthwise 1-D convolution with REFLECT_101 (OpenCV default) padding.
+
+    TPU note: implemented as STATIC shifted slices + scalar FMAs (XLA fuses
+    them into one vectorized pass). The earlier single-channel
+    ``lax.conv_general_dilated`` formulation lowers to near-scalar code on
+    TPU and made every pyramid level of the compose feeds cost ~seconds on
+    10 MP tile windows; the shift-and-add form is bandwidth-bound.
+    """
+    taps_np = np.asarray(taps, np.float32)
+    r = taps_np.shape[0] // 2
+    x = img.astype(jnp.float32)
     # reflect-101 padding ("abc|cb" style) along the chosen axis
     pad = [(0, 0)] * x.ndim
     pad[axis] = (r, r)
     x = jnp.pad(x, pad, mode="reflect")
-    # Move conv axis last, flatten the rest into batch, use conv via dot over
-    # sliding windows: implement with lax.conv on a (N, 1, L) layout.
     x = jnp.moveaxis(x, axis, -1)
-    lead = x.shape[:-1]
-    x = x.reshape((-1, 1, x.shape[-1]))
-    k = taps.reshape((1, 1, -1)).astype(x.dtype)
-    # full f32 precision: the DoG contrast thresholds downstream are ~0.5/255
-    # of the dynamic range, far below default (bf16-class) conv precision.
-    y = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST)
-    y = y.reshape(lead + (y.shape[-1],))
+    n = x.shape[-1] - 2 * r
+    y = taps_np[0] * jax.lax.slice_in_dim(x, 0, n, axis=-1)
+    for k in range(1, 2 * r + 1):
+        y = y + taps_np[k] * jax.lax.slice_in_dim(x, k, k + n, axis=-1)
     return jnp.moveaxis(y, -1, axis)
 
 
@@ -106,7 +106,7 @@ def gaussian_blur(img: jnp.ndarray, sigma: float,
         x = jnp.tensordot(x, tw, axes=([wax], [1]), precision=hp)
         x = jnp.moveaxis(x, -1, wax)
         return x
-    taps = jnp.asarray(gaussian_kernel1d(sigma, radius))
+    taps = gaussian_kernel1d(sigma, radius)
     x = _conv1d_along(x, taps, axis=hax)
     x = _conv1d_along(x, taps, axis=wax)
     return x
@@ -118,7 +118,7 @@ _PYR_TAPS = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """Blur with the 5-tap binomial kernel and decimate by 2 (cv::pyrDown)."""
-    taps = jnp.asarray(_PYR_TAPS)
+    taps = _PYR_TAPS
     hax = img.ndim - 2 if img.ndim == 2 else img.ndim - 3
     wax = hax + 1
     x = img.astype(jnp.float32)
@@ -146,7 +146,7 @@ def pyr_up(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     dst_idx[hax] = slice(0, out_h, 2)
     dst_idx[wax] = slice(0, out_w, 2)
     up = up.at[tuple(dst_idx)].set(x[tuple(src_idx)])
-    taps = jnp.asarray(_PYR_TAPS * 2.0)
+    taps = _PYR_TAPS * 2.0
     up = _conv1d_along(up, taps, axis=hax)
     up = _conv1d_along(up, taps, axis=wax)
     return up

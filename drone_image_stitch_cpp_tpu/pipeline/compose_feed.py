@@ -113,10 +113,21 @@ def _feed_prog(cv, img, gain_m1, chan_gain, seam_mask, t23, h33, starts,
     wimg = wimg * chan_gain
 
     def upsample(m):
-        t = jnp.stack([
-            jnp.stack([inv_seam, jnp.float32(0.0), -gx]),
-            jnp.stack([jnp.float32(0.0), inv_seam, -gy])])
-        return warp_xla(m.astype(jnp.float32), t, rh, rw)
+        # axis-aligned scale+translate == two 1-D bilinear-hat matmuls
+        # (identical samples/border-zeros to the gather warp of
+        #  [[inv_seam,0,-gx],[0,inv_seam,-gy]], but MXU work instead of
+        #  gathers — the gather lowering cost ~0.4 s per 10 MP tile window)
+        m32 = m.astype(jnp.float32)
+        gh, gw = m32.shape
+        hp = jax.lax.Precision.HIGHEST
+
+        def hat(n_out, n_src, off):
+            src = (jnp.arange(n_out, dtype=jnp.float32) + off) / inv_seam
+            k = jnp.arange(n_src, dtype=jnp.float32)
+            return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - k[None, :]))
+
+        t = jnp.dot(m32, hat(rw, gw, gx).T, precision=hp)    # (gh, rw)
+        return jnp.dot(hat(rh, gh, gy), t, precision=hp)     # (rh, rw)
 
     if has_gain:
         wimg = wimg * (1.0 + upsample(gain_m1))[..., None]
