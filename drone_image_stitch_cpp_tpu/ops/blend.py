@@ -62,6 +62,39 @@ def aligned_roi(x0: float, y0: float, x1: float, y1: float, bands: int,
     return tlx, tly, brx - tlx, bry - tly
 
 
+FEED_SNAP = 1024  # feed-window dim quantum (compile-bucket control)
+
+
+def bucketed_window(x0: float, y0: float, x1: float, y1: float,
+                    bands: int, ch: int, cw: int,
+                    snap: int = FEED_SNAP):
+    """Fixed-size-bucketed feed window covering the float bbox.
+
+    Window SIZES come from a tiny static set — multiples of ``snap``
+    capped at the (2^bands-aligned) canvas dims — so every fused feed
+    reuses one compiled program; POSITIONS shift left/up to keep the
+    window in-canvas (positions are traced arguments, free to vary).
+    Every new (h, w) bucket costs a full XLA compile of the feed program
+    (minutes on a remote-TPU relay), which dominated cold-run composes.
+
+    Returns (tl_x, tl_y, h, w); tl are multiples of 2^bands, h/w
+    multiples of 2^bands capped at the aligned canvas dims.
+    """
+    g = 1 << bands
+    tlx, tly, rw, rh = aligned_roi(x0, y0, x1, y1, bands, ch, cw)
+    rw += tlx % 256
+    tlx = align_down(tlx, 256)
+    rh += tly % 256
+    tly = align_down(tly, 256)
+    caw = align_up(cw, g)   # accumulator dims (mb_prepare aligns up)
+    cah = align_up(ch, g)
+    rw_b = min(align_up(rw, snap), caw)
+    rh_b = min(align_up(rh, snap), cah)
+    tlx = min(tlx, caw - rw_b)
+    tly = min(tly, cah - rh_b)
+    return tlx, tly, rh_b, rw_b
+
+
 class MultiBandCanvas(NamedTuple):
     """Shared canvas pyramid accumulators (a pytree; jit-friendly)."""
 

@@ -213,6 +213,9 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         raise GlobalStitchError("need at least 2 strips")
 
     transforms, strips, _ = align_strips(strips, tuning, seed)
+    t_aligned = time.perf_counter()
+    log.log("GlobalCustom", "align done",
+            seconds=round(t_aligned - t_start, 2))
 
     # canvas bbox over transformed corners (:439-458) — host numpy (a
     # device dispatch per strip for (2,3) geometry is pure relay latency)
@@ -253,8 +256,20 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     # device-resident strips: transferred ONCE and kept UINT8 (ten 4K-tall
     # strip panoramas as f32 alone exceed single-chip HBM; the fused feed
     # converts + applies gains on the fly), reused by the seam stage and
-    # every tile feed
-    dev_strips = [jnp.asarray(st) for st in strips]
+    # every tile feed. Padded to the 256 grid so every strip shares ONE
+    # compiled seam-warp / fused-feed program (each distinct (h, w) is a
+    # separate XLA compile — minutes each on the remote relay); the pad is
+    # black, which the >2 nonblack content masks exclude exactly like the
+    # reference's black wedges (stitch_global.cpp:109-117), and canvas
+    # geometry (boxes above) keeps using the TRUE dims.
+    dev_strips = []
+    for st in strips:
+        hp_ = B.align_up(st.shape[0], 256)
+        wp_ = B.align_up(st.shape[1], 256)
+        if (hp_, wp_) != st.shape[:2]:
+            st = np.pad(st, ((0, hp_ - st.shape[0]),
+                             (0, wp_ - st.shape[1]), (0, 0)))
+        dev_strips.append(jnp.asarray(st))
     to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
 
     seam_imgs, seam_masks = [], []
@@ -266,6 +281,10 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
             nonblack_mask(img32, 2.0), ts, sh, sw,
             footprint_thresh=0.999))
         del img32
+
+    t_seamwarp = time.perf_counter()
+    log.log("GlobalCustom", "seam-scale warps done",
+            seconds=round(t_seamwarp - t_aligned, 2))
 
     # ---- radiometric pre-equalization (:497-573) -------------------------
     gains = _gain_chain(seam_imgs, seam_masks, n, seam_scale)
@@ -301,9 +320,15 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         dt = t_canvas[i + 1][:, 2] - t_canvas[i][:, 2]
         axes.append("vertical" if abs(dt[0]) >= abs(dt[1])
                     else "horizontal")
+    t_gain = time.perf_counter()
+    log.log("GlobalCustom", "gains+exposure done",
+            seconds=round(t_gain - t_seamwarp, 2))
     # graph-cut seams with DP fallback (reference ladder :616-627)
     seam_out = S.find_seams_sequential(comp_imgs, list(seam_masks), axes,
                                        method="graphcut")
+    t_seams = time.perf_counter()
+    log.log("GlobalCustom", "seams done",
+            seconds=round(t_seams - t_gain, 2))
     # free the 8 MP seam-scale images/masks before the blend allocates
     # tile pyramids (HBM headroom on a single chip)
     del comp_imgs, seam_imgs, seam_masks
@@ -323,16 +348,10 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         content mask + sigma=10 soft seam mask (:332-351) + accumulate."""
         bx0, by0 = boxes[i][0] - x0 - ox, boxes[i][1] - y0 - oy
         bx1, by1 = boxes[i][2] - x0 - ox, boxes[i][3] - y0 - oy
-        tlx, tly, rw_, rh_ = B.aligned_roi(bx0, by0, bx1, by1, bands,
-                                           ch_, cw_)
-        # snap the origin to the 256 grid: bounds the fused-feed compile
-        # variants (see pipeline/strip.py feed_roi)
-        tlx, rw_ = B.align_down(tlx, 256), rw_ + tlx % 256
-        tly, rh_ = B.align_down(tly, 256), rh_ + tly % 256
-        rw_b = B.align_down(min(B.align_up(rw_, 256), cw_ - tlx),
-                            1 << bands)
-        rh_b = B.align_down(min(B.align_up(rh_, 256), ch_ - tly),
-                            1 << bands)
+        # fixed-size window buckets, shifted to fit (ops/blend.py): bounds
+        # the fused-feed compile variants (see pipeline/strip.py feed_roi)
+        tlx, tly, rh_b, rw_b = B.bucketed_window(bx0, by0, bx1, by1,
+                                                 bands, ch_, cw_)
         gx, gy = ox + tlx, oy + tly
         t_full = t_canvas[i].copy()
         t_full[0, 2] -= gx
@@ -366,6 +385,8 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
                               canvas.wacc[0].shape[1])
         out, _ = B.mb_blend(canvas, canvas_h, canvas_w)
         result = np.asarray(B.clip_u8(out))
+    log.log("GlobalCustom", "blend done",
+            seconds=round(time.perf_counter() - t_seams, 2))
     log.log("GlobalCustom", "composed",
             seconds=round(time.perf_counter() - t_start, 2))
     return result

@@ -323,18 +323,12 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         ONE fused dispatch (pipeline/compose_feed.py)."""
         bx0, by0 = boxes[i][0] - x0 - ox, boxes[i][1] - y0 - oy
         bx1, by1 = boxes[i][2] - x0 - ox, boxes[i][3] - y0 - oy
-        tlx, tly, rw_, rh_ = B.aligned_roi(
+        # fixed-size window buckets, shifted to fit (ops/blend.py): every
+        # new (rh, rw) bucket costs a full compile of the fused feed
+        # program on the relay
+        tlx, tly, rh_b, rw_b = B.bucketed_window(
             float(bx0), float(by0), float(bx1), float(by1), bands,
             ch_, cw_)
-        # snap the ROI origin to the 256 grid THEN bucket dims: keeps the
-        # (rh, rw) bucket set tiny across tiles/strips (every new bucket
-        # costs a full compile of the fused feed program on the relay)
-        tlx, rw_ = B.align_down(tlx, 256), rw_ + tlx % 256
-        tly, rh_ = B.align_down(tly, 256), rh_ + tly % 256
-        rw_b = min(B.align_up(rw_, 256), cw_ - tlx)
-        rh_b = min(B.align_up(rh_, 256), ch_ - tly)
-        rw_b = B.align_down(rw_b, 1 << bands)
-        rh_b = B.align_down(rh_b, 1 << bands)
 
         gx, gy = ox + tlx, oy + tly     # global canvas offsets of the ROI
         t_full = np.vstack([t_canvas[i], [0.0, 0.0, 1.0]]).astype(np.float32)

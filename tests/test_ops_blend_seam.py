@@ -26,6 +26,37 @@ def test_aligned_roi_grid():
     assert tlx + w >= 701 and tly + h >= 301
 
 
+def test_bucketed_window_invariants():
+    """Fixed-size feed windows: aligned, in-bounds, cover the ROI, and the
+    size set stays tiny (each distinct size is one XLA compile)."""
+    cases = [
+        (10.3, 5.2, 3900.9, 2161.7, 5, 2176, 4608),
+        (3000.0, 0.0, 4600.0, 2162.0, 5, 2176, 4608),
+        (0.0, 0.0, 120.0, 90.0, 3, 256, 384),
+        (4500.0, 2000.0, 4607.0, 2175.0, 5, 2176, 4608),
+        (-5.0, -3.0, 5200.0, 2300.0, 6, 2176, 5120),  # oversize bbox
+        (257.0, 1.0, 513.0, 400.0, 5, 2176, 4608),
+    ]
+    sizes = set()
+    for c in cases:
+        x0, y0, x1, y1, bands, ch, cw = c
+        tlx, tly, rh, rw = B.bucketed_window(x0, y0, x1, y1, bands, ch, cw)
+        g = 1 << bands
+        caw, cah = B.align_up(cw, g), B.align_up(ch, g)
+        assert tlx % g == 0 and tly % g == 0, c
+        assert rh % g == 0 and rw % g == 0, c
+        assert 0 <= tlx and tlx + rw <= caw, c
+        assert 0 <= tly and tly + rh <= cah, c
+        ax, ay, aw, ah = B.aligned_roi(x0, y0, x1, y1, bands, ch, cw)
+        assert tlx <= ax and tly <= ay, c
+        assert tlx + rw >= ax + aw and tly + rh >= ay + ah, c
+        sizes.add((rh, rw))
+    # the two interior strip-window cases must share one size bucket
+    w1 = B.bucketed_window(10.0, 0.0, 3900.0, 2162.0, 5, 2176, 4608)
+    w2 = B.bucketed_window(300.0, 0.0, 4100.0, 2162.0, 5, 2176, 4608)
+    assert w1[2:] == w2[2:], (w1, w2)
+
+
 def test_multiband_blend_identity():
     """Blending one image reproduces it (away from ROI borders)."""
     r = np.random.default_rng(0)
