@@ -188,6 +188,22 @@ MAX_TILED_BANDS = 8  # halo is 8*2^bands: bands>8 would need multi-km halos
 # band-count downgrade mirrors the reference's own canvas-size-adaptive
 # degradation ladder (stitch_global.cpp:307-326).
 TILE_PYR_BUDGET_BYTES = 640 << 20
+# ext-window dim quantum: canvas dims are data-dependent (a strip's height
+# varies by the registration drift), and every distinct ext shape recompiles
+# the whole feed/blend program set (~3 min on the remote relay — 6 of 10
+# flagship strips paid it, ~1200 s total). Snapping the ext dims up to this
+# grid makes every strip share ONE compiled set for ≤ ~30% extra rows.
+EXT_SNAP = 512
+
+
+def _ext_dims(canvas_h: int, canvas_w: int, bands: int, tile: int):
+    """Shared ext-window sizing for tiled_bands / mb_tile_grid."""
+    g = 1 << bands
+    halo = 8 << bands
+    t = align_up(tile, g)
+    ext_h = min(t + 2 * halo, align_up(canvas_h, max(g, EXT_SNAP)))
+    ext_w = min(t + 2 * halo, align_up(canvas_w, max(g, EXT_SNAP)))
+    return t, halo, ext_h, ext_w
 
 
 def tiled_bands(canvas_h: int, canvas_w: int, bands: int,
@@ -196,11 +212,7 @@ def tiled_bands(canvas_h: int, canvas_w: int, bands: int,
     bands = min(bands, MAX_TILED_BANDS)
     tile = tile if tile is not None else TILE
     while bands > 1:
-        g = 1 << bands
-        halo = 8 << bands
-        t = align_up(tile, g)
-        ext_h = min(t + 2 * halo, align_up(canvas_h, g))
-        ext_w = min(t + 2 * halo, align_up(canvas_w, g))
+        _, _, ext_h, ext_w = _ext_dims(canvas_h, canvas_w, bands, tile)
         if pyramid_bytes(ext_h, ext_w, bands) <= TILE_PYR_BUDGET_BYTES:
             break
         bands -= 1
@@ -220,24 +232,27 @@ def mb_tile_grid(canvas_h: int, canvas_w: int, bands: int,
     approximation.
 
     Ext windows have a FIXED size per canvas (shifted, like the SIFT
-    kernel's patch windows, rather than clipped at canvas edges): every
-    tile of every strip/mosaic then reuses one compiled feed/blend
-    program.
+    kernel's patch windows, rather than clipped at canvas edges), and the
+    size itself is snapped to the EXT_SNAP grid: every tile of every
+    strip/mosaic — across strips of *different* data-dependent canvas
+    heights — then reuses one compiled feed/blend program. Rows/cols
+    beyond the true canvas receive no content (warps resolve to zeros,
+    weights to 0) and the core crop never reads them.
     """
     g = 1 << bands
-    halo = 8 << bands
-    tile = align_up(tile if tile is not None else TILE, g)
+    tile, halo, ext_h, ext_w = _ext_dims(canvas_h, canvas_w, bands,
+                                         tile if tile is not None else TILE)
     ch = align_up(canvas_h, g)
     cw = align_up(canvas_w, g)
-    ext_h = min(tile + 2 * halo, ch)
-    ext_w = min(tile + 2 * halo, cw)
     tiles = []
     for cy0 in range(0, canvas_h, tile):
         cy1 = min(canvas_h, cy0 + tile)
         for cx0 in range(0, canvas_w, tile):
             cx1 = min(canvas_w, cx0 + tile)
-            ey0 = min(max(0, align_down(cy0 - halo, g)), ch - ext_h)
-            ex0 = min(max(0, align_down(cx0 - halo, g)), cw - ext_w)
+            ey0 = min(max(0, align_down(cy0 - halo, g)),
+                      max(0, ch - ext_h))
+            ex0 = min(max(0, align_down(cx0 - halo, g)),
+                      max(0, cw - ext_w))
             tiles.append((cy0, cy1, cx0, cx1, ey0, ey0 + ext_h,
                           ex0, ex0 + ext_w))
     return tiles, halo

@@ -198,6 +198,25 @@ def test_tiled_bands_memory_plan():
     assert B.tiled_bands(512, 512, 11) == B.MAX_TILED_BANDS
 
 
+def test_tile_grid_ext_shape_stable_across_strip_heights():
+    """Strip canvas heights are data-dependent (registration drift): the
+    ext-window SHAPE must not change with them, or every strip recompiles
+    the whole feed/blend program set (~3 min each on the remote relay —
+    6 of 10 flagship strips paid it). Windows must still cover core+halo
+    within the canvas."""
+    shapes = set()
+    for ch in (2162, 2176, 2201, 2248, 2304):
+        tiles, halo = B.mb_tile_grid(ch, 25692, 5)
+        for (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in tiles:
+            shapes.add((ey1 - ey0, ex1 - ex0))
+            assert ey0 >= 0 and ex0 >= 0
+            # ext covers the core plus the in-canvas part of the halo
+            assert ey0 <= max(0, cy0 - halo) and ex0 <= max(0, cx0 - halo)
+            assert ey1 >= min(ch, cy1 + halo) or ey1 >= ch
+            assert ex1 >= min(25692, cx1 + halo) or ex1 >= 25692
+    assert len(shapes) == 1, shapes
+
+
 def test_tiled_compose_retires_frames_after_last_tile():
     """on_frame_retired fires exactly once per frame, only after every
     tile intersecting that frame has been fed (so callers may drop the
