@@ -256,16 +256,18 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     # device-resident strips: transferred ONCE and kept UINT8 (ten 4K-tall
     # strip panoramas as f32 alone exceed single-chip HBM; the fused feed
     # converts + applies gains on the fly), reused by the seam stage and
-    # every tile feed. Padded to the 256 grid so every strip shares ONE
-    # compiled seam-warp / fused-feed program (each distinct (h, w) is a
-    # separate XLA compile — minutes each on the remote relay); the pad is
+    # every tile feed. ALL strips are padded to their common max dims
+    # (aligned up to 256) so every strip shares ONE compiled seam-warp /
+    # fused-feed program (each distinct (h, w) is a separate XLA compile —
+    # minutes each on the remote relay; strip heights are data-dependent
+    # registration drift, so per-strip dims rarely coincide); the pad is
     # black, which the >2 nonblack content masks exclude exactly like the
     # reference's black wedges (stitch_global.cpp:109-117), and canvas
     # geometry (boxes above) keeps using the TRUE dims.
+    hp_ = B.align_up(max(st.shape[0] for st in strips), 256)
+    wp_ = B.align_up(max(st.shape[1] for st in strips), 256)
     dev_strips = []
     for st in strips:
-        hp_ = B.align_up(st.shape[0], 256)
-        wp_ = B.align_up(st.shape[1], 256)
         if (hp_, wp_) != st.shape[:2]:
             st = np.pad(st, ((0, hp_ - st.shape[0]),
                              (0, wp_ - st.shape[1]), (0, 0)))

@@ -261,8 +261,15 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
 
     # ---- seam scale work -------------------------------------------------
     seam_scale = scale_for_megapixels(h, w, tuning.seam_estimation_resol_mpx)
-    sh = max(1, int(round(canvas_h * seam_scale)))
-    sw = max(1, int(round(canvas_w * seam_scale)))
+    # seam-canvas dims snapped up to a 64 grid: they track the strip's
+    # data-dependent canvas height, and every distinct (sh, sw) recompiles
+    # the seam-warp batch AND the fused compose feed (whose seam-mask /
+    # gain-map inputs have these dims) — minutes per strip on the remote
+    # relay. The pad rows/cols are mask-empty: warps land zeros there, and
+    # in the feed's hat-matmul upsample a zero column contributes exactly
+    # what a missing column does, so the blend is bit-identical.
+    sh = B.align_up(max(1, int(round(canvas_h * seam_scale))), 64)
+    sw = B.align_up(max(1, int(round(canvas_w * seam_scale))), 64)
     ssc = np.diag([seam_scale, seam_scale]).astype(np.float32)
 
     if len({im.shape for im in images}) == 1 and n > 1:
