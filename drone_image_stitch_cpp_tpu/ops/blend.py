@@ -16,6 +16,7 @@ pyramid (4/3 x canvas) + one ROI pyramid, independent of image count.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -304,9 +305,13 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
 
     def materialize(entry):
         # fetch uint8, not float32: tile cores are ~100 MB f32 at 4K strip
-        # heights and the host link is the compose bottleneck
-        cy0, cy1, cx0, cx1, img = entry
-        out[cy0:cy1, cx0:cx1] = np.asarray(img)
+        # heights and the host link is the compose bottleneck. The FULL
+        # ext window is fetched and cropped on host: a device-side core
+        # crop would have a canvas-height-dependent shape and recompile
+        # per strip (ext shapes are snapped; core shapes are not).
+        cy0, cy1, cx0, cx1, ey0, ex0, img = entry
+        a = np.asarray(img)
+        out[cy0:cy1, cx0:cx1] = a[cy0 - ey0:cy1 - ey0, cx0 - ex0:cx1 - ex0]
 
     for t_idx, (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in \
             enumerate(tiles):
@@ -323,10 +328,8 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                 canvas_t = feed_tile(canvas_t, i, ey0, ex0, eh, ew)
                 fed += 1
             if fed:
-                img, _ = mb_blend(canvas_t, eh, ew)
-                pending.append((cy0, cy1, cx0, cx1,
-                                clip_u8(img[cy0 - ey0:cy1 - ey0,
-                                            cx0 - ex0:cx1 - ex0])))
+                pending.append((cy0, cy1, cx0, cx1, ey0, ex0,
+                                _blend_u8(canvas_t, out_h=eh, out_w=ew)))
         if on_frame_retired is not None:
             # feeds are enqueued; JAX keeps donated/arg buffers alive until
             # execution, so the caller may drop its references now
@@ -344,6 +347,16 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
 def clip_u8(img: jnp.ndarray) -> jnp.ndarray:
     """Device-side uint8 conversion: fetch 1/4 the bytes of float32
     (the host link is the compose bottleneck on the remote-TPU relay)."""
+    return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("out_h", "out_w"))
+def _blend_u8(canvas: MultiBandCanvas, *, out_h: int, out_w: int):
+    """Fused normalize+collapse+clip+u8 as ONE dispatch (eager mb_blend is
+    ~15 jnp ops = ~15 relay round-trips per tile); donates the canvas
+    accumulators back to the allocator."""
+    img, _ = mb_blend(canvas, out_h, out_w)
     return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
 
 
