@@ -20,6 +20,7 @@ and /tmp/refbuild, so re-runs only re-execute the stitchers.
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -79,12 +80,31 @@ def main():
         else:
             out["gt_rmse_ref"] = None
             log(f"[sortie] reference produced no mosaic (rc={rc})")
-        if "secs_ours" in out and rc == 0:
-            out["speedup"] = round(out["secs_ref"] / out["secs_ours"], 2)
-            if out["gt_rmse_ref"]:
-                out["rmse_ratio"] = round(
-                    out["gt_rmse_ours"] / out["gt_rmse_ref"], 3)
 
+    # merge with the recorded file: a --skip-ref / --skip-ours run reuses
+    # the other side's cached numbers so the file always carries both
+    record = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_sortie.json")
+    prior = {}
+    if os.path.exists(record):
+        try:
+            with open(record) as f:
+                prior = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prior = {}
+    for k in ("secs_ours", "gt_rmse_ours", "mosaic_hw", "peak_hbm_gb",
+              "backend", "secs_ref", "gt_rmse_ref", "ref_rc"):
+        if k not in out and k in prior:
+            out[k] = prior[k]
+    if out.get("secs_ref") and out.get("secs_ours") \
+            and out.get("ref_rc") == 0:
+        out["speedup"] = round(out["secs_ref"] / out["secs_ours"], 2)
+        if out.get("gt_rmse_ref") and out.get("gt_rmse_ours") is not None:
+            out["rmse_ratio"] = round(
+                out["gt_rmse_ours"] / out["gt_rmse_ref"], 3)
+    with open(record, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
     print(json.dumps(out))
 
 
