@@ -123,7 +123,8 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         _init_runtime(tuning)
         _log_runtime_options(tuning)
 
-        loaded = load_with_ids(cfg.input_dir)
+        with log.timer("Main", "load+decode"):
+            loaded = load_with_ids(cfg.input_dir)
         log.log("Main", "loaded", n=len(loaded.images))
         if len(loaded.images) < 2:
             log.log("Main", "need at least 2 images")
@@ -170,11 +171,12 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                             imgs, strip_tuning, stage=f"Strip{gi}",
                             range_width_override=tuning.range_width,
                             image_tags=tags, mesh=mesh)
-                    pano = auto_crop_black_border(pano)
-                    strip_panos.append(pano)
-                    if cfg.save_strips:
-                        _write_image(os.path.join(
-                            ckpt_dir, f"strip_{gi:02d}.jpg"), pano)
+                    with log.timer(f"Strip{gi}", "crop+save"):
+                        pano = auto_crop_black_border(pano)
+                        strip_panos.append(pano)
+                        if cfg.save_strips:
+                            _write_image(os.path.join(
+                                ckpt_dir, f"strip_{gi:02d}.jpg"), pano)
                 save_strip_checkpoint(ckpt_dir, strip_panos)
                 strips_done = strip_panos
             else:
@@ -204,8 +206,9 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                                                       global_tuning,
                                                       mesh=mesh)
 
-        panorama = auto_crop_black_border(panorama)
-        _write_image(cfg.output_path, panorama)
+        with log.timer("Main", "crop+write"):
+            panorama = auto_crop_black_border(panorama)
+            _write_image(cfg.output_path, panorama)
         log.log("Main", "wrote", path=cfg.output_path,
                 h=panorama.shape[0], w=panorama.shape[1])
         return 0

@@ -188,10 +188,18 @@ def _dense_refine_fields(dog: jnp.ndarray, n_layers: int,
     """
     s, h, w = dog.shape
 
-    def sh(a, dl, dy, dx):
-        # shifted copy (non-cyclic values at borders are masked out by the
-        # interior checks below — candidates never sit on the border)
-        return jnp.roll(a, (-dl, -dy, -dx), axis=(0, 1, 2))
+    # one zero-padded copy + static slices: every shifted "copy" below is
+    # a view of this buffer that XLA fuses into the elementwise Newton
+    # graph. (jnp.roll lowers to per-axis concatenates that materialize
+    # ~20 full-stack intermediates — 3x the HBM traffic for this stage.)
+    # Border pixels read zeros instead of wrapped values, but candidates
+    # and jump targets are clipped to the interior, where all 27 taps hit
+    # real data — consumed values are identical.
+    padded = jnp.pad(dog, ((1, 1), (1, 1), (1, 1)))
+
+    def sh(_a, dl, dy, dx):
+        return jax.lax.slice(padded, (1 + dl, 1 + dy, 1 + dx),
+                             (1 + dl + s, 1 + dy + h, 1 + dx + w))
 
     c = dog
     gx = 0.5 * (sh(c, 0, 0, 1) - sh(c, 0, 0, -1))

@@ -6,12 +6,15 @@ programs of ops/features.py on the TPU hot path. Those lower to XLA gathers
 TPU and dominated round 1's detect stage (~1 s of a ~1.6 s 8-frame 4K
 batch; reference workload: cv::SIFT at stitch_robust.cpp:188).
 
-Design (one kernel instance per keypoint, grid over B*K):
-  * the support patch is DMA'd HBM->VMEM as ONE aligned (PR, PC) block per
-    keypoint (starts come in via scalar prefetch), double-buffered across
-    grid steps so the next patch streams in while the current one computes;
-  * a dynamic lane roll re-centers the keypoint at lane CTR, and all math
-    runs on a static (PR, CW) window — pure VPU vector ops, no gathers;
+Design (KP=2 keypoints per kernel step, grid over B*K/KB):
+  * each keypoint's support patch is DMA'd HBM->VMEM as ONE aligned
+    (PR, PC) block (starts come in via scalar prefetch), double-buffered
+    across steps so the next pair streams in while the current computes;
+  * a dynamic lane roll re-centers each keypoint at lane CTR of its own
+    (PR, CW=128) window, and TWO windows pack side-by-side into one
+    (PR, 256) compute array — the VPU's native lane width is 128, so the
+    packed form halves the per-keypoint cost of every elementwise pass
+    and reduction (pure VPU vector ops, no gathers);
   * gradients are static sublane/lane rolls of the window; the orientation
     histogram is 36 masked row-reductions; the 4x4x8 descriptor accumulates
     via per-bin hat weights and row/lane reductions (no scatter);
@@ -65,65 +68,98 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -p, p)
 
 
-KB = 8  # keypoints per grid step (outputs must tile to (8, 128))
+KB = 8   # keypoints per grid step (outputs must tile to (8, 128))
+KP = 2   # keypoints packed side-by-side per compute window: the VPU's
+         # native lane width is 128, so a single-keypoint (PR, 128)
+         # window leaves half of every (8, 256)-wide op idle; packing two
+         # keypoints into (PR, 2*CW) lanes halves the per-keypoint cost
+         # of every reduction and elementwise pass below.
+CW2 = KP * CW
 
 
 def _kernel(starts_ref, fparams_ref, src_hbm, desc_ref, meta_ref,
             patch, sem):
     kblk = pl.program_id(0)
-    total = pl.num_programs(0) * KB
+    total_pairs = pl.num_programs(0) * (KB // KP)
 
     # prefetch arrays are (field, K): SMEM pads each ROW to 128 lanes, so
     # a (K, 3) layout would waste 128/3 x the SMEM budget (hard 1 MB cap)
-    def dma(slot, idx):
+    def dma(slot, half, idx):
         return pltpu.make_async_copy(
             src_hbm.at[starts_ref[0, idx],
                        pl.ds(pl.multiple_of(starts_ref[1, idx], 8), PR),
                        pl.ds(pl.multiple_of(starts_ref[2, idx], 128), PC)],
-            patch.at[slot], sem.at[slot])
+            patch.at[slot, half], sem.at[slot, half])
 
     @pl.when(kblk == 0)
     def _():
-        dma(0, 0).start()
+        dma(0, 0, 0).start()
+        dma(0, 1, 1).start()
 
-    def body(i, carry):
-        k = kblk * KB + i
+    def body(j, carry):
+        q = kblk * (KB // KP) + j          # global pair index
+        k = q * KP                         # first keypoint of the pair
 
-        @pl.when(k + 1 < total)
+        @pl.when(q + 1 < total_pairs)
         def _():
-            dma((k + 1) % 2, k + 1).start()
+            dma((q + 1) % 2, 0, k + KP).start()
+            dma((q + 1) % 2, 1, k + KP + 1).start()
 
-        dma(k % 2, k).wait()
+        dma(q % 2, 0, k).wait()
+        dma(q % 2, 1, k + 1).wait()
         # dynamic-slot read: select between the two buffers (VMEM reads
         # are cheap; a dynamic leading index on scratch is not supported)
-        p = jnp.where((k % 2) == 0, patch[0], patch[1])    # (PR, PC)
+        even = (q % 2) == 0
+        p_a = jnp.where(even, patch[0, 0], patch[1, 0])    # (PR, PC)
+        p_b = jnp.where(even, patch[0, 1], patch[1, 1])
 
-        y0 = starts_ref[1, k]
-        x0 = starts_ref[2, k]
-        yf = fparams_ref[0, k]
-        xf = fparams_ref[1, k]
-        scale = fparams_ref[2, k]
+        # lane region: lanes [0, CW) hold keypoint a, [CW, 2*CW) hold b
+        ci = jax.lax.broadcasted_iota(jnp.int32, (PR, CW2), 1)
+        is_b = ci >= CW
+
+        def sel(field_row):
+            a = fparams_ref[field_row, k]
+            b = fparams_ref[field_row, k + 1]
+            return jnp.where(is_b, b, a)
+
+        y0i_a = starts_ref[1, k]
+        y0i_b = starts_ref[1, k + 1]
+        x0i_a = starts_ref[2, k]
+        x0i_b = starts_ref[2, k + 1]
+        yf = sel(0)
+        xf = sel(1)
+        scale = sel(2)
         # per-keypoint gradient bounds: the indexed image's (aligned) true
         # dims — images of different sizes (octaves) share one flat padded
         # stack, and taps beyond an image's own extent must not contribute
-        h_img = fparams_ref[3, k]
-        w_img = fparams_ref[4, k]
+        h_img = sel(3)
+        w_img = sel(4)
 
-        # re-center: window lane j holds source column x0 + sh + j
-        xi = jnp.round(xf).astype(jnp.int32)
-        sh = xi - x0 - CTR
-        win = pltpu.roll(p, shift=jnp.mod(-sh, PC), axis=1)[:, :CW]
+        # re-center each patch so its keypoint sits at lane CTR, then pack
+        # the two (PR, CW) windows side by side
+        xi_a = jnp.round(fparams_ref[1, k]).astype(jnp.int32)
+        xi_b = jnp.round(fparams_ref[1, k + 1]).astype(jnp.int32)
+        sh_a = xi_a - x0i_a - CTR
+        sh_b = xi_b - x0i_b - CTR
+        win = jnp.concatenate(
+            [pltpu.roll(p_a, shift=jnp.mod(-sh_a, PC), axis=1)[:, :CW],
+             pltpu.roll(p_b, shift=jnp.mod(-sh_b, PC), axis=1)[:, :CW]],
+            axis=1)                                         # (PR, CW2)
 
-        rows_abs = (y0.astype(jnp.float32)
-                    + jax.lax.broadcasted_iota(jnp.int32, (PR, CW), 0)
-                    .astype(jnp.float32))
-        cols_abs = ((x0 + sh).astype(jnp.float32)
-                    + jax.lax.broadcasted_iota(jnp.int32, (PR, CW), 1)
-                    .astype(jnp.float32))
+        xi = jnp.where(is_b, xi_b, xi_a).astype(jnp.float32)
+        y0 = jnp.where(is_b, y0i_b, y0i_a).astype(jnp.float32)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (PR, CW2), 0)
+        lane = jnp.mod(ci, CW)                              # lane within window
+        rows_abs = y0 + ri.astype(jnp.float32)
+        x0sh = jnp.where(is_b, (x0i_b + sh_b), (x0i_a + sh_a))
+        cols_abs = (x0sh + lane).astype(jnp.float32)
 
         # central differences via static rolls (y-up convention)
         # pltpu.roll requires non-negative shifts: -1 == size-1 (cyclic)
-        gx = 0.5 * (pltpu.roll(win, shift=CW - 1, axis=1)
+        # NB lane rolls cross the a|b seam at lanes CW-1/CW; the
+        # within-window bound on ``lane`` below zero-weights those taps,
+        # so the two packed keypoints never contaminate each other.
+        gx = 0.5 * (pltpu.roll(win, shift=CW2 - 1, axis=1)
                     - pltpu.roll(win, shift=1, axis=1))
         gy = 0.5 * (pltpu.roll(win, shift=1, axis=0)
                     - pltpu.roll(win, shift=PR - 1, axis=0))
@@ -131,12 +167,10 @@ def _kernel(starts_ref, fparams_ref, src_hbm, desc_ref, meta_ref,
         # gradient valid: 1 px inside the true image AND inside the window
         # (absolute bounds also kill lanes the roll wrapped: wrapped taps
         # always land outside [0, w_true))
-        ri = jax.lax.broadcasted_iota(jnp.int32, (PR, CW), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (PR, CW), 1)
         gvalid = ((rows_abs >= 1.0) & (rows_abs <= h_img - 2.0)
                   & (cols_abs >= 1.0) & (cols_abs <= w_img - 2.0)
                   & (ri >= 1) & (ri <= PR - 2)
-                  & (ci >= 1) & (ci <= CW - 2))
+                  & (lane >= 1) & (lane <= CW - 2))
 
         mag = jnp.sqrt(gx * gx + gy * gy)
         theta = _atan2(gy, gx)
@@ -146,7 +180,7 @@ def _kernel(starts_ref, fparams_ref, src_hbm, desc_ref, meta_ref,
         # orientation uses offsets from the ROUNDED center (integer patch
         # grid), matching ops/features._orientation_one / OpenCV; the
         # descriptor below uses the sub-pixel offsets dx/dy
-        dxo = cols_abs - xi.astype(jnp.float32)
+        dxo = cols_abs - xi
         dyo = rows_abs - jnp.round(yf)
 
         # ---- orientation histogram (36 bins, radius 4.5*scale) ---------------
@@ -161,36 +195,44 @@ def _kernel(starts_ref, fparams_ref, src_hbm, desc_ref, meta_ref,
         parts = [jnp.sum(jnp.where(bini == b, ocontrib, 0.0), axis=0,
                          keepdims=True)
                  for b in range(_ORI_BINS)]
-        hrows = jnp.concatenate(parts, axis=0)              # (36, CW)
-        hist = jnp.sum(hrows, axis=1, keepdims=True)        # (36, 1)
+        hrows = jnp.concatenate(parts, axis=0)              # (36, CW2)
 
         # circular smooth [1,4,6,4,1]/16 via static sublane rolls
         def rollb(a, s):
             return pltpu.roll(a, shift=s % _ORI_BINS, axis=0)
 
-        hs = (rollb(hist, 2) + rollb(hist, -2)
-              + 4.0 * (rollb(hist, 1) + rollb(hist, -1)) + 6.0 * hist) / 16.0
-
         bidx = jax.lax.broadcasted_iota(jnp.int32, (_ORI_BINS, 1), 0)
-        b = jnp.argmax(hs)                                  # flat argmax, (36,1)
 
-        def at_bin(i):
-            return jnp.sum(jnp.where(bidx == i, hs, 0.0))
+        def peak_angle(hist):
+            """hist (36, 1) -> interpolated dominant angle (radians)."""
+            hs = (rollb(hist, 2) + rollb(hist, -2)
+                  + 4.0 * (rollb(hist, 1) + rollb(hist, -1))
+                  + 6.0 * hist) / 16.0
+            b = jnp.argmax(hs)
 
-        l_ = at_bin(jnp.mod(b - 1, _ORI_BINS))
-        c_ = at_bin(b)
-        r_ = at_bin(jnp.mod(b + 1, _ORI_BINS))
-        denom = l_ - 2.0 * c_ + r_
-        interp = jnp.where(jnp.abs(denom) > 1e-12,
-                           0.5 * (l_ - r_) / jnp.where(jnp.abs(denom) > 1e-12,
-                                                       denom, 1.0), 0.0)
-        angle = (jnp.mod(b.astype(jnp.float32) + interp, float(_ORI_BINS))
-                 * (2.0 * math.pi / _ORI_BINS))
+            def at_bin(i):
+                return jnp.sum(jnp.where(bidx == i, hs, 0.0))
+
+            l_ = at_bin(jnp.mod(b - 1, _ORI_BINS))
+            c_ = at_bin(b)
+            r_ = at_bin(jnp.mod(b + 1, _ORI_BINS))
+            denom = l_ - 2.0 * c_ + r_
+            interp = jnp.where(
+                jnp.abs(denom) > 1e-12,
+                0.5 * (l_ - r_) / jnp.where(jnp.abs(denom) > 1e-12,
+                                            denom, 1.0), 0.0)
+            return (jnp.mod(b.astype(jnp.float32) + interp,
+                            float(_ORI_BINS))
+                    * (2.0 * math.pi / _ORI_BINS))
+
+        angle_a = peak_angle(jnp.sum(hrows[:, :CW], axis=1, keepdims=True))
+        angle_b = peak_angle(jnp.sum(hrows[:, CW:], axis=1, keepdims=True))
+        angle = jnp.where(is_b, angle_b, angle_a)           # (PR, CW2)
 
         # ---- descriptor (4x4 spatial x 8 orientation bins) -------------------
         hist_width = 3.0 * scale
-        ca = jnp.cos(angle)
-        sa = jnp.sin(angle)
+        ca = jnp.where(is_b, jnp.cos(angle_b), jnp.cos(angle_a))
+        sa = jnp.where(is_b, jnp.sin(angle_b), jnp.sin(angle_a))
         u = (ca * dx - sa * dy) / hist_width
         v = (sa * dx + ca * dy) / hist_width
         rbin = v + (_D - 1) / 2.0
@@ -211,26 +253,34 @@ def _kernel(starts_ref, fparams_ref, src_hbm, desc_ref, meta_ref,
 
         # accumulate: for each spatial bin, row-reduce each orientation plane,
         # then one (16, CW) -> (16, 1) lane reduction at the end
-        rowvecs = []                                        # 16*8 x (1, CW)
+        rowvecs = []                                        # 16*8 x (1, CW2)
         for by in range(_D):
             for bx in range(_D):
                 zs = wys[by] * wxs[bx]
                 for o in range(_OBINS):
                     rowvecs.append(jnp.sum(zs * wos[o], axis=0, keepdims=True))
-        dmat = jnp.concatenate(rowvecs, axis=0)             # (128, CW)
-        desc = jnp.sum(dmat, axis=1, keepdims=True)         # (128, 1)
-        desc = jnp.transpose(desc)                          # (1, 128)
+        dmat = jnp.concatenate(rowvecs, axis=0)             # (128, CW2)
 
-        nrm = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
-        desc = jnp.minimum(desc / nrm, 0.2)
-        nrm2 = jnp.sqrt(jnp.sum(desc * desc) + 1e-12)
-        desc = jnp.minimum(desc / nrm2 * 512.0, 255.0)
+        def norm_desc(d128):
+            """(128, 1) raw bins -> (1, 128) clipped SIFT descriptor."""
+            d = jnp.transpose(d128)
+            nrm = jnp.sqrt(jnp.sum(d * d) + 1e-12)
+            d = jnp.minimum(d / nrm, 0.2)
+            nrm2 = jnp.sqrt(jnp.sum(d * d) + 1e-12)
+            return jnp.minimum(d / nrm2 * 512.0, 255.0)
 
-        desc_ref[pl.ds(i, 1), :] = desc
-        meta_ref[pl.ds(i, 1), :] = jnp.full((1, 128), angle, jnp.float32)
+        desc_a = norm_desc(jnp.sum(dmat[:, :CW], axis=1, keepdims=True))
+        desc_b = norm_desc(jnp.sum(dmat[:, CW:], axis=1, keepdims=True))
+
+        desc_ref[pl.ds(KP * j, 1), :] = desc_a
+        desc_ref[pl.ds(KP * j + 1, 1), :] = desc_b
+        meta_ref[pl.ds(KP * j, 1), :] = jnp.full((1, 128), angle_a,
+                                                 jnp.float32)
+        meta_ref[pl.ds(KP * j + 1, 1), :] = jnp.full((1, 128), angle_b,
+                                                     jnp.float32)
         return carry
 
-    jax.lax.fori_loop(0, KB, body, 0)
+    jax.lax.fori_loop(0, KB // KP, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -252,8 +302,8 @@ def _run(gauss_flat, starts, fparams, interpret=False):
             pl.BlockSpec((KB, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((2, PR, PC), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((2, KP, PR, PC), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, KP))],
     )
     desc, meta = pl.pallas_call(
         _kernel,
