@@ -37,6 +37,7 @@ shared canvas pyramid.
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 from typing import List, Optional
@@ -51,10 +52,10 @@ from ..ops import exposure as E
 from ..ops import features as F
 from ..ops import seam as S
 from ..ops.color import bgr_to_gray, nonblack_mask
-from ..ops.resize import scale_for_max_dim
+from ..ops.resize import resize_area, scale_for_max_dim
 from ..ops.warp import warp_affine, warp_content_mask
 from ..runtime.logging import get_logger
-from .registration import detect_features
+from .registration import _detect_batch, bucket_shape, detect_features
 from . import compose_feed as CF
 from .roi_align import PairAffineEstimate, align_pair_banked
 
@@ -69,13 +70,62 @@ class GlobalStitchError(RuntimeError):
     pass
 
 
+_STRIP_BUCKET = 512  # full-res strip pad grid (one program per bucket)
+
+
+def _snap_strip(d: int) -> int:
+    return -(-d // _STRIP_BUCKET) * _STRIP_BUCKET
+
+
+@functools.partial(jax.jit, static_argnames=("max_kp", "out_h", "out_w",
+                                             "bh", "bw"))
+def _detect_strip_u8(img_u8: jnp.ndarray, true_hw: jnp.ndarray, max_kp: int,
+                     out_h: int, out_w: int, bh: int, bw: int):
+    """Fused u8 ingest -> gray -> area resize -> pad -> detect for one
+    bucket-padded strip. All shapes are bucket-derived, so every strip of
+    a sortie runs the SAME compiled program."""
+    gray = bgr_to_gray(img_u8.astype(jnp.float32))
+    work = resize_area(gray, out_h, out_w)
+    work = work[:bh, :bw]
+    ph, pw = bh - work.shape[0], bw - work.shape[1]
+    if ph or pw:
+        work = jnp.pad(work, ((0, ph), (0, pw)), mode="edge")
+    return _detect_batch(work[None], true_hw[None], max_kp, bh, bw)
+
+
 def _detect_strip(img: np.ndarray, tuning: StitchTuning):
-    """Full-frame features for one strip at the <=2800 px work scale."""
+    """Full-frame features for one strip at the <=2800 px work scale.
+
+    The strip crosses the relay as uint8 (4x less traffic than f32,
+    ~200 MB for a 10x20-sortie strip) after an edge-replicate host pad to
+    a 512-snapped bucket: autocropped strip panoramas all differ by a few
+    pixels, and without the pad every strip costs its own server-side XLA
+    compile of the ~670 MB gray/resize program (the dominant cost of the
+    312 s align stage in flagship run 3). Keypoints map back to full-res
+    coordinates with the exact per-axis scales of the fixed resize.
+    """
     h, w = img.shape[:2]
-    sc = scale_for_max_dim(h, w, _MAX_ALIGN_DIM)
-    mpx = h * w * sc * sc / 1e6
-    feats, s = detect_features([img], tuning.global_sift_features, mpx)
-    return feats, s
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0.0, 255.0).astype(np.uint8)
+    bh_full, bw_full = _snap_strip(h), _snap_strip(w)
+    padded = np.pad(img, ((0, bh_full - h), (0, bw_full - w), (0, 0)),
+                    mode="edge")
+    sc = scale_for_max_dim(bh_full, bw_full, _MAX_ALIGN_DIM)
+    out_h = max(1, int(round(bh_full * sc)))
+    out_w = max(1, int(round(bw_full * sc)))
+    sy = out_h / float(bh_full)   # exact content scales of the resize
+    sx = out_w / float(bw_full)
+    cwh = min(int(round(h * sy)), out_h)
+    cww = min(int(round(w * sx)), out_w)
+    bh, bw = bucket_shape(cwh, cww)
+    feats = _detect_strip_u8(jnp.asarray(padded),
+                             jnp.asarray([cwh, cww], jnp.int32),
+                             tuning.global_sift_features, out_h, out_w,
+                             bh, bw)
+    xy = jnp.stack([(feats.xy[..., 0] + 0.5) / sx - 0.5,
+                    (feats.xy[..., 1] + 0.5) / sy - 0.5], axis=-1)
+    feats = feats._replace(xy=xy, sigma=feats.sigma / sc)
+    return feats, sc
 
 
 def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
