@@ -132,6 +132,17 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
 
         images = _undistort_if_ready(loaded.images, tuning, cfg.image_type)
 
+        # transfer-once device frame cache: grouping detect, strip
+        # registration, and the compose feeds all read the same frames,
+        # and on the remote relay each full pass over a 200-frame 4K
+        # sortie costs ~100 s of host->device transfer alone
+        store = None
+        if (len({im.shape for im in images}) == 1
+                and images[0].ndim == 3 and images[0].shape[2] == 3
+                and images[0].dtype == np.uint8):
+            from .runtime.feed import FrameStore
+            store = FrameStore(images)
+
         # data-parallel mesh over all visible devices: the registration
         # pair axis shards across it (pairgraph.register_pairs); a single
         # device runs unsharded
@@ -155,7 +166,8 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
 
         if strips_done is None:
             with log.timer("Main", "grouping"):
-                groups = group_boustrophedon(images, loaded.ids, tuning)
+                groups = group_boustrophedon(images, loaded.ids, tuning,
+                                             store=store)
             log.log("Main", "groups", n=len(groups),
                     sizes=[len(g.indices) for g in groups])
 
@@ -170,7 +182,8 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                         pano = stitch_strip(
                             imgs, strip_tuning, stage=f"Strip{gi}",
                             range_width_override=tuning.range_width,
-                            image_tags=tags, mesh=mesh)
+                            image_tags=tags, mesh=mesh, store=store,
+                            indices=list(g.indices))
                     with log.timer(f"Strip{gi}", "crop+save"):
                         pano = auto_crop_black_border(pano)
                         strip_panos.append(pano)
@@ -182,16 +195,21 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
             else:
                 # single-group path (stitch_app.cpp:246-260)
                 flat = [images[k] for g in groups for k in g.indices]
+                flat_idx = [k for g in groups for k in g.indices]
                 with log.timer("Main", "single-group stitch"):
                     pano = stitch_strip(
                         flat, tuning.replace(
                             sift_features=tuning.strip_sift_features),
                         stage="Single",
-                        range_width_override=tuning.range_width, mesh=mesh)
+                        range_width_override=tuning.range_width, mesh=mesh,
+                        store=store, indices=flat_idx)
                 pano = auto_crop_black_border(pano)
                 _write_image(cfg.output_path, pano)
                 log.log("Main", "wrote", path=cfg.output_path)
                 return 0
+
+        if store is not None:
+            store.clear()   # frames are done; free HBM for the global canvas
 
         if len(strips_done) == 1:
             panorama = strips_done[0]

@@ -91,14 +91,21 @@ class VisualStripGroup:
 
 
 def estimate_relations(images: List[np.ndarray], tuning: StitchTuning,
-                       seed: int = 0) -> List[VisualRelation]:
+                       seed: int = 0, store=None,
+                       indices: List[int] | None = None
+                       ) -> List[VisualRelation]:
     """Batched short-range motion graph (gaps 1..3) on device."""
+    if store is not None and images is None:
+        indices = list(indices if indices is not None
+                       else range(len(store)))
+        images = [store.images[i] for i in indices]
     n = len(images)
     n_feats = int(np.clip(tuning.strip_sift_features, 600, 1800))  # :119-122
     h, w = images[0].shape[:2]
     mdim = max(h, w)
     mpx = (h * w) * min(1.0, (_MAX_DIM / mdim) ** 2) / 1e6
-    feats, scale = detect_features(images, n_feats, mpx)
+    feats, scale = detect_features(images, n_feats, mpx, store=store,
+                                   indices=indices)
     pairs = gap_pairs(n, min(_MAX_NEIGHBOR_GAP, n - 1))
     ratio = float(adaptive_ratio(tuning.match_conf))
     graph = register_pairs(feats, pairs, ratio, thresh=4.0 / scale,
@@ -246,8 +253,12 @@ def _solve_best_segmentation(score: np.ndarray, n: int
 
 def group_boustrophedon(images: List[np.ndarray], ids: List[str],
                         tuning: StitchTuning,
-                        seed: int = 0) -> List[VisualStripGroup]:
-    """Full grouping pipeline (reference :472-558)."""
+                        seed: int = 0, store=None) -> List[VisualStripGroup]:
+    """Full grouping pipeline (reference :472-558).
+
+    ``store``: optional runtime.feed.FrameStore of the same images — the
+    motion-graph detects then read device-resident frames instead of
+    re-crossing the relay."""
     log = get_logger()
     n = len(images)
     if n == 0:
@@ -258,7 +269,8 @@ def group_boustrophedon(images: List[np.ndarray], ids: List[str],
     active = list(range(n))
     for _round in range(4):  # iterative duplicate removal (ref. recursion)
         imgs = [images[k] for k in active]
-        rels = estimate_relations(imgs, tuning, seed)
+        rels = estimate_relations(imgs, tuning, seed,
+                                  store=store, indices=active)
         for r in rels:
             log.log("VisualGroup", "edge", i=active[r.i], j=active[r.j],
                     ok=r.ok, tx=round(r.tx, 1), ty=round(r.ty, 1),
@@ -279,7 +291,8 @@ def group_boustrophedon(images: List[np.ndarray], ids: List[str],
         active = [k for idx, k in enumerate(active) if idx not in dup_set]
     else:
         imgs = [images[k] for k in active]
-        rels = estimate_relations(imgs, tuning, seed)
+        rels = estimate_relations(imgs, tuning, seed,
+                                  store=store, indices=active)
         stats = summarize_motion(rels)
 
     m = len(active)

@@ -73,7 +73,9 @@ def _detect_batch_u8(frames_u8: jnp.ndarray, max_kp: int, wh: int, ww: int,
 
 
 def detect_features(images: List[np.ndarray], n_features: int,
-                    resol_mpx: float) -> tuple[F.Features, float]:
+                    resol_mpx: float, store=None,
+                    indices: List[int] | None = None
+                    ) -> tuple[F.Features, float]:
     """Batched feature extraction; frames may differ in size.
 
     The work scale comes from the first image (cv::Stitcher computes
@@ -83,7 +85,16 @@ def detect_features(images: List[np.ndarray], n_features: int,
     fallback path, where a growing mosaic registers against the next
     frame). Returns (Features with leading batch axis, work_scale).
     Keypoint coordinates are in each frame's *full-resolution* pixels.
+
+    ``store``/``indices``: a runtime.feed.FrameStore serving frames that
+    are already device-resident — detect chunks then stack on device
+    instead of re-crossing the relay (the frames were transferred once,
+    at ingest).
     """
+    if store is not None:
+        indices = list(indices if indices is not None
+                       else range(len(store)))
+        images = [store.images[i] for i in indices]
     h0, w0 = images[0].shape[:2]
     scale = scale_for_megapixels(h0, w0, resol_mpx)
 
@@ -111,8 +122,18 @@ def detect_features(images: List[np.ndarray], n_features: int,
         from ..runtime.feed import DeviceFeed
         wh, ww = work_hw[0]
         outs = []
-        feed = DeviceFeed(images, batch_size=_DETECT_CHUNK,
-                          keep_uint8=True, pad_tail=True)
+        if store is not None:
+            # frames are already in HBM (or transfer on first touch, with
+            # async device_put running ahead of the detect dispatches):
+            # stack chunks on device instead of re-crossing the relay
+            chunks = [indices[c0:c0 + _DETECT_CHUNK]
+                      for c0 in range(0, n, _DETECT_CHUNK)]
+            feed = ((store.batch(ch, pad_to=_DETECT_CHUNK
+                                 if n > _DETECT_CHUNK else 0), len(ch))
+                    for ch in chunks)
+        else:
+            feed = DeviceFeed(images, batch_size=_DETECT_CHUNK,
+                              keep_uint8=True, pad_tail=True)
         for dev_chunk, take in feed:
             fc = _detect_batch_u8(dev_chunk, n_features, wh, ww, bh, bw)
             outs.append(jax.tree_util.tree_map(lambda a: a[:take], fc))

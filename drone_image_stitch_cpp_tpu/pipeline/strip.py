@@ -88,7 +88,8 @@ def estimate_strip_transforms(images: List[np.ndarray],
                               range_width: Optional[int] = None,
                               matching_mask: Optional[np.ndarray] = None,
                               stage: str = "Strip", seed: int = 0,
-                              mesh=None):
+                              mesh=None, store=None,
+                              indices: Optional[List[int]] = None):
     """Registration: features -> banded pair graph -> component -> BA.
 
     Returns (kept_indices, transforms (n_kept, 2, 3) frame->frame0, graph).
@@ -99,7 +100,8 @@ def estimate_strip_transforms(images: List[np.ndarray],
     n = len(images)
     rw = range_width if range_width is not None else tuning.range_width
     feats, scale = detect_features(images, tuning.sift_features,
-                                   tuning.registration_resol_mpx)
+                                   tuning.registration_resol_mpx,
+                                   store=store, indices=indices)
     if matching_mask is not None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
                  if matching_mask[i, j] or matching_mask[j, i]]
@@ -185,7 +187,8 @@ def _axes_from_transforms(transforms: np.ndarray) -> List[str]:
 
 def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
                   tuning: StitchTuning, stage: str = "Strip",
-                  mesh=None) -> np.ndarray:
+                  mesh=None, store=None,
+                  indices: Optional[List[int]] = None) -> np.ndarray:
     """Warp + seam + gain + multiband blend at compositing resolution.
 
     ``transforms``: (N, 2, 3) frame->reference affines (full-res units).
@@ -229,7 +232,11 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     # feed converts on the fly), reused by the seam stage and every tile
     # feed — re-uploading per (frame, tile) moved ~95 MB per 4K frame per
     # tile over the host link and dominated compose wall-clock
-    dev_imgs = [jnp.asarray(im) for im in images]
+    if store is not None and indices is not None and cs >= 1.0:
+        # frames already crossed the relay at ingest; reuse the HBM copies
+        dev_imgs = [store.frame(i) for i in indices]
+    else:
+        dev_imgs = [jnp.asarray(im) for im in images]
     to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
     _on_dev, _ = CF.device_colocator()
 
@@ -377,7 +384,8 @@ def stitch_strip(images: List[np.ndarray],
                  range_width_override: Optional[int] = None,
                  image_tags: Optional[Sequence[str]] = None,
                  matching_mask: Optional[np.ndarray] = None,
-                 seed: int = 0, mesh=None) -> np.ndarray:
+                 seed: int = 0, mesh=None, store=None,
+                 indices: Optional[List[int]] = None) -> np.ndarray:
     """Robust strip stitch with the reference's fallback ladder.
 
     Reference: stitchRobustly (stitch_robust.cpp:337-376): joint stitch
@@ -401,12 +409,15 @@ def stitch_strip(images: List[np.ndarray],
         with log.timer(stage, "register"):
             kept, transforms, _ = estimate_strip_transforms(
                 images, tuning, range_width_override, matching_mask, stage,
-                seed, mesh)
+                seed, mesh, store=store, indices=indices)
         imgs = [images[i] for i in kept]
         if len(kept) < n:
             log.log(stage, "dropped weak frames",
                     dropped=[i for i in range(n) if i not in set(kept)])
-        return compose_strip(imgs, transforms, tuning, stage, mesh=mesh)
+        return compose_strip(imgs, transforms, tuning, stage, mesh=mesh,
+                             store=store,
+                             indices=([indices[i] for i in kept]
+                                      if indices is not None else None))
     except StripStitchError as err:
         log.log(stage, "joint stitch failed", error=str(err))
         if matching_mask is not None:

@@ -28,6 +28,62 @@ def _decode_host(paths: Sequence[str], n_threads: int) -> List[np.ndarray]:
                            paths))
 
 
+class FrameStore:
+    """Transfer-once device cache of same-shape uint8 frames.
+
+    The remote-TPU relay moves ~40-70 MB/s, so a 200-frame 4K sortie is
+    ~1.6 GB as uint8 — every full pass over the frames costs ~100 s of
+    pure host->device transfer. Grouping detect, strip registration, and
+    the compose feeds all consume the SAME decoded frames; this store
+    device_puts each 8-frame chunk once (uint8, aligned with the detect
+    programs' chunking) and serves later passes by on-device slicing.
+    ``batch(indices)`` stacks arbitrary frames (a strip's subset) from the
+    cached chunks; ``frame(i)`` returns one device frame for the compose
+    feed. device_put is asynchronous, so ``prefetch`` overlaps the next
+    chunk's transfer with current compute (SURVEY section 7.2).
+    """
+
+    CHUNK = 8
+
+    def __init__(self, images: Sequence[np.ndarray]):
+        self.images = list(images)
+        self._chunks: dict = {}
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def _chunk(self, c0: int):
+        if c0 not in self._chunks:
+            import jax
+            self._chunks[c0] = jax.device_put(
+                np.stack(self.images[c0:c0 + self.CHUNK]))
+        return self._chunks[c0]
+
+    def prefetch(self, i: int) -> None:
+        if 0 <= i < len(self.images):
+            self._chunk((i // self.CHUNK) * self.CHUNK)
+
+    def frame(self, i: int):
+        c0 = (i // self.CHUNK) * self.CHUNK
+        return self._chunk(c0)[i - c0]
+
+    def batch(self, indices: Sequence[int], pad_to: int = 0):
+        """Device (B, H, W, 3) uint8 stack of ``indices`` (tail-padded by
+        repeating the last frame up to ``pad_to`` so shapes stay static)."""
+        import jax.numpy as jnp
+        idx = list(indices)
+        if pad_to and len(idx) < pad_to:
+            idx = idx + [idx[-1]] * (pad_to - len(idx))
+        # contiguous aligned chunks come straight from the cache
+        c0 = (idx[0] // self.CHUNK) * self.CHUNK
+        if idx == list(range(c0, c0 + self.CHUNK)):
+            return self._chunk(c0)
+        return jnp.stack([self.frame(i) for i in idx])
+
+    def clear(self) -> None:
+        self._chunks.clear()
+
+
 class DeviceFeed:
     """Iterate decoded image batches as device arrays with 1-batch lookahead.
 

@@ -177,3 +177,37 @@ def test_roi_candidates_reference_grid():
     # a tiny cur strip keeps only the full ROI -> 4 real rows, 12 padding
     bank2, n2 = build_hyp_bank((150, 150), (600, 1000))
     assert bank2.shape == (16, 8) and n2 == 4
+
+
+def test_frame_store_detect_equivalence(ortho):
+    """FrameStore-served detect == list-served detect, incl. subsets and
+    a full strip stitch driven through the store (app.py wiring)."""
+    import jax
+    from drone_image_stitch_cpp_tpu.pipeline.registration import (
+        detect_features)
+    from drone_image_stitch_cpp_tpu.runtime.feed import FrameStore
+
+    imgs, _, _ = render_sortie(ortho, 1, 5, frame_h=160, frame_w=224,
+                               overlap=0.6)
+    store = FrameStore(imgs)
+
+    f_list, s_list = detect_features(imgs, 256, 0.4)
+    f_store, s_store = detect_features(None, 256, 0.4, store=store,
+                                       indices=list(range(len(imgs))))
+    assert s_list == s_store
+    for a, b in zip(jax.tree_util.tree_leaves(f_list),
+                    jax.tree_util.tree_leaves(f_store)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    sub = [1, 3, 4]
+    f_sub, _ = detect_features([imgs[i] for i in sub], 256, 0.4)
+    f_sub_store, _ = detect_features(None, 256, 0.4, store=store,
+                                     indices=sub)
+    for a, b in zip(jax.tree_util.tree_leaves(f_sub),
+                    jax.tree_util.tree_leaves(f_sub_store)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    pano_plain = stitch_strip(imgs, _small_tuning())
+    pano_store = stitch_strip(imgs, _small_tuning(), store=store,
+                              indices=list(range(len(imgs))))
+    np.testing.assert_array_equal(pano_plain, pano_store)
