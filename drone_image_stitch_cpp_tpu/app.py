@@ -26,7 +26,7 @@ from .pipeline.global_ import stitch_inter_strips_custom
 from .pipeline.strip import stitch_strip
 from .runtime.checkpoint import (load_strip_checkpoint,
                                  save_strip_checkpoint)
-from .runtime.loader import load_with_ids
+from .runtime.loader import load_with_ids, scan_with_ids
 from .runtime.logging import get_logger
 
 
@@ -123,25 +123,55 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         _init_runtime(tuning)
         _log_runtime_options(tuning)
 
-        with log.timer("Main", "load+decode"):
-            loaded = load_with_ids(cfg.input_dir)
-        log.log("Main", "loaded", n=len(loaded.images))
-        if len(loaded.images) < 2:
-            log.log("Main", "need at least 2 images")
-            return 1
+        # Ingest. Two paths:
+        #  * STREAMING (default): scan now, decode on a background thread
+        #    chunk by chunk into a FrameStore — host JPEG decode (~60 s
+        #    for a 200-frame 4K sortie on one core) overlaps the grouping
+        #    stage's device compute. Any decode failure falls back below.
+        #  * EAGER: decode everything up front (undistort rewrites
+        #    pixels; also the recovery path for unreadable files, keeping
+        #    the reference's skip-unreadable semantics,
+        #    image_loader.cpp:52-59).
+        # Either way the FrameStore is the transfer-once device frame
+        # cache: grouping detect, strip registration, and the compose
+        # feeds all read the same frames, and on the remote relay each
+        # full pass over a 200-frame 4K sortie costs ~100 s of
+        # host->device transfer alone.
+        from .runtime.feed import FrameStore, FrameStoreError
 
-        images = _undistort_if_ready(loaded.images, tuning, cfg.image_type)
+        calib = tuning.calibration.find(cfg.image_type)
+        store = images = ids = None
+        if calib is None or not calib.is_ready():
+            log.log("Main", "calibration not ready; skipping undistort")
+            try:
+                with log.timer("Main", "scan"):
+                    paths, ids = scan_with_ids(cfg.input_dir)
+                if len(paths) >= 2:
+                    store = FrameStore.from_paths(paths)
+                    sh = store.shape0
+                    if not (len(sh) == 3 and sh[2] == 3
+                            and store.images[0].dtype == np.uint8):
+                        raise FrameStoreError("frame 0 is not BGR uint8")
+                    log.log("Main", "streaming ingest", n=len(paths))
+            except FrameStoreError as e:
+                log.log("Main", "streaming ingest unavailable",
+                        error=str(e))
+                store = images = ids = None
 
-        # transfer-once device frame cache: grouping detect, strip
-        # registration, and the compose feeds all read the same frames,
-        # and on the remote relay each full pass over a 200-frame 4K
-        # sortie costs ~100 s of host->device transfer alone
-        store = None
-        if (len({im.shape for im in images}) == 1
-                and images[0].ndim == 3 and images[0].shape[2] == 3
-                and images[0].dtype == np.uint8):
-            from .runtime.feed import FrameStore
-            store = FrameStore(images)
+        if store is None:
+            with log.timer("Main", "load+decode"):
+                loaded = load_with_ids(cfg.input_dir)
+            log.log("Main", "loaded", n=len(loaded.images))
+            if len(loaded.images) < 2:
+                log.log("Main", "need at least 2 images")
+                return 1
+            ids = loaded.ids
+            images = _undistort_if_ready(loaded.images, tuning,
+                                         cfg.image_type)
+            if (len({im.shape for im in images}) == 1
+                    and images[0].ndim == 3 and images[0].shape[2] == 3
+                    and images[0].dtype == np.uint8):
+                store = FrameStore(images)
 
         # data-parallel mesh over all visible devices: the registration
         # pair axis shards across it (pairgraph.register_pairs); a single
@@ -165,9 +195,35 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                         strips=len(strips_done))
 
         if strips_done is None:
-            with log.timer("Main", "grouping"):
-                groups = group_boustrophedon(images, loaded.ids, tuning,
-                                             store=store)
+            try:
+                with log.timer("Main", "grouping"):
+                    groups = group_boustrophedon(images, ids, tuning,
+                                                 store=store)
+                if images is None:
+                    images = store.host_images()
+                    log.log("Main", "loaded", n=len(images))
+            except FrameStoreError as e:
+                # unreadable/mismatched files: recover with the eager
+                # loader (skip-unreadable, image_loader.cpp:52-59)
+                log.log("Main", "streaming ingest failed; reloading",
+                        error=str(e))
+                with log.timer("Main", "load+decode"):
+                    loaded = load_with_ids(cfg.input_dir)
+                log.log("Main", "loaded", n=len(loaded.images))
+                if len(loaded.images) < 2:
+                    log.log("Main", "need at least 2 images")
+                    return 1
+                ids = loaded.ids
+                images = _undistort_if_ready(loaded.images, tuning,
+                                             cfg.image_type)
+                store = None
+                if (len({im.shape for im in images}) == 1
+                        and images[0].ndim == 3 and images[0].shape[2] == 3
+                        and images[0].dtype == np.uint8):
+                    store = FrameStore(images)
+                with log.timer("Main", "grouping"):
+                    groups = group_boustrophedon(images, ids, tuning,
+                                                 store=store)
             log.log("Main", "groups", n=len(groups),
                     sizes=[len(g.indices) for g in groups])
 

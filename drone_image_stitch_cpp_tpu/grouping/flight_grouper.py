@@ -95,27 +95,36 @@ def estimate_relations(images: List[np.ndarray], tuning: StitchTuning,
                        indices: List[int] | None = None
                        ) -> List[VisualRelation]:
     """Batched short-range motion graph (gaps 1..3) on device."""
-    if store is not None and images is None:
+    if store is not None:
+        # streaming store: frames may still be decoding — shape comes
+        # from the store, pixels flow through detect_features chunks
         indices = list(indices if indices is not None
                        else range(len(store)))
-        images = [store.images[i] for i in indices]
-    n = len(images)
+        n = len(indices)
+        h, w = store.shape0[:2]
+    else:
+        n = len(images)
+        h, w = images[0].shape[:2]
     n_feats = int(np.clip(tuning.strip_sift_features, 600, 1800))  # :119-122
-    h, w = images[0].shape[:2]
     mdim = max(h, w)
     mpx = (h * w) * min(1.0, (_MAX_DIM / mdim) ** 2) / 1e6
-    feats, scale = detect_features(images, n_feats, mpx, store=store,
-                                   indices=indices)
+    log = get_logger()
+    with log.timer("VisualGroup", "detect"):
+        feats, scale = detect_features(images, n_feats, mpx, store=store,
+                                       indices=indices)
+        jax.device_get(feats.valid[-1, 0])  # attribute async work honestly
     pairs = gap_pairs(n, min(_MAX_NEIGHBOR_GAP, n - 1))
     ratio = float(adaptive_ratio(tuning.match_conf))
-    graph = register_pairs(feats, pairs, ratio, thresh=4.0 / scale,
-                           kind="similarity", seed=seed)
+    with log.timer("VisualGroup", "register+fetch"):
+        graph = register_pairs(feats, pairs, ratio, thresh=4.0 / scale,
+                               kind="similarity", seed=seed)
 
-    # ONE bulk fetch for every per-edge scalar (a per-edge int()/bool() here
-    # costs a full host<->device round-trip each -- ~80 ms on the remote
-    # relay, i.e. minutes over a 200-frame sortie's ~600 edges)
-    ok_h, ngood_h, ninl_h, models = jax.device_get(
-        (graph.ok, graph.n_good, graph.n_inliers, graph.model))
+        # ONE bulk fetch for every per-edge scalar (a per-edge int()/
+        # bool() here costs a full host<->device round-trip each --
+        # ~80 ms on the remote relay, i.e. minutes over a 200-frame
+        # sortie's ~600 edges)
+        ok_h, ngood_h, ninl_h, models = jax.device_get(
+            (graph.ok, graph.n_good, graph.n_inliers, graph.model))
     # decompose on host: shipping the fetched models back through jnp for
     # ops/transform.similarity_params costs ~10 more relay round-trips for
     # microseconds of math (same decomposition as
@@ -260,7 +269,7 @@ def group_boustrophedon(images: List[np.ndarray], ids: List[str],
     motion-graph detects then read device-resident frames instead of
     re-crossing the relay."""
     log = get_logger()
-    n = len(images)
+    n = len(images) if images is not None else len(store)
     if n == 0:
         return []
     if n == 1:
@@ -268,7 +277,7 @@ def group_boustrophedon(images: List[np.ndarray], ids: List[str],
 
     active = list(range(n))
     for _round in range(4):  # iterative duplicate removal (ref. recursion)
-        imgs = [images[k] for k in active]
+        imgs = None if images is None else [images[k] for k in active]
         rels = estimate_relations(imgs, tuning, seed,
                                   store=store, indices=active)
         for r in rels:
@@ -290,7 +299,7 @@ def group_boustrophedon(images: List[np.ndarray], ids: List[str],
         dup_set = set(dups)
         active = [k for idx, k in enumerate(active) if idx not in dup_set]
     else:
-        imgs = [images[k] for k in active]
+        imgs = None if images is None else [images[k] for k in active]
         rels = estimate_relations(imgs, tuning, seed,
                                   store=store, indices=active)
         stats = summarize_motion(rels)

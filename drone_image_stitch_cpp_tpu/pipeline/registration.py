@@ -89,12 +89,36 @@ def detect_features(images: List[np.ndarray], n_features: int,
     ``store``/``indices``: a runtime.feed.FrameStore serving frames that
     are already device-resident — detect chunks then stack on device
     instead of re-crossing the relay (the frames were transferred once,
-    at ingest).
+    at ingest). Store frames are uniform uint8 BGR by contract (the app
+    only builds a store for such inputs), so shape math comes from the
+    store's shape0 — in streaming mode later frames may still be
+    decoding when this runs.
     """
     if store is not None:
         indices = list(indices if indices is not None
                        else range(len(store)))
-        images = [store.images[i] for i in indices]
+        h0, w0 = store.shape0[:2]
+        scale = scale_for_megapixels(h0, w0, resol_mpx)
+        wh = max(1, int(round(h0 * scale)))
+        ww = max(1, int(round(w0 * scale)))
+        bh, bw = bucket_shape(wh, ww)
+        n = len(indices)
+        outs = []
+        chunks = [indices[c0:c0 + _DETECT_CHUNK]
+                  for c0 in range(0, n, _DETECT_CHUNK)]
+        for ch in chunks:
+            dev_chunk = store.batch(ch, pad_to=_DETECT_CHUNK
+                                    if n > _DETECT_CHUNK else 0)
+            fc = _detect_batch_u8(dev_chunk, n_features, wh, ww, bh, bw)
+            outs.append(jax.tree_util.tree_map(
+                lambda a, t=len(ch): a[:t], fc))
+        feats = (outs[0] if len(outs) == 1 else jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *outs))
+        sx = ww / float(w0)
+        sy = wh / float(h0)
+        xy = jnp.stack([(feats.xy[..., 0] + 0.5) / sx - 0.5,
+                        (feats.xy[..., 1] + 0.5) / sy - 0.5], axis=-1)
+        return feats._replace(xy=xy, sigma=feats.sigma / scale), scale
     h0, w0 = images[0].shape[:2]
     scale = scale_for_megapixels(h0, w0, resol_mpx)
 
@@ -122,18 +146,8 @@ def detect_features(images: List[np.ndarray], n_features: int,
         from ..runtime.feed import DeviceFeed
         wh, ww = work_hw[0]
         outs = []
-        if store is not None:
-            # frames are already in HBM (or transfer on first touch, with
-            # async device_put running ahead of the detect dispatches):
-            # stack chunks on device instead of re-crossing the relay
-            chunks = [indices[c0:c0 + _DETECT_CHUNK]
-                      for c0 in range(0, n, _DETECT_CHUNK)]
-            feed = ((store.batch(ch, pad_to=_DETECT_CHUNK
-                                 if n > _DETECT_CHUNK else 0), len(ch))
-                    for ch in chunks)
-        else:
-            feed = DeviceFeed(images, batch_size=_DETECT_CHUNK,
-                              keep_uint8=True, pad_tail=True)
+        feed = DeviceFeed(images, batch_size=_DETECT_CHUNK,
+                          keep_uint8=True, pad_tail=True)
         for dev_chunk, take in feed:
             fc = _detect_batch_u8(dev_chunk, n_features, wh, ww, bh, bw)
             outs.append(jax.tree_util.tree_map(lambda a: a[:take], fc))

@@ -28,6 +28,13 @@ def _decode_host(paths: Sequence[str], n_threads: int) -> List[np.ndarray]:
                            paths))
 
 
+class FrameStoreError(RuntimeError):
+    """A streaming FrameStore hit a decode failure / non-uniform shape.
+
+    Callers fall back to the eager loader path, which reproduces the
+    reference's skip-unreadable semantics (image_loader.cpp:52-59)."""
+
+
 class FrameStore:
     """Transfer-once device cache of same-shape uint8 frames.
 
@@ -39,8 +46,15 @@ class FrameStore:
     programs' chunking) and serves later passes by on-device slicing.
     ``batch(indices)`` stacks arbitrary frames (a strip's subset) from the
     cached chunks; ``frame(i)`` returns one device frame for the compose
-    feed. device_put is asynchronous, so ``prefetch`` overlaps the next
-    chunk's transfer with current compute (SURVEY section 7.2).
+    feed. device_put is asynchronous, so transfers run ahead of the
+    consuming detect dispatches (SURVEY section 7.2).
+
+    ``from_paths`` builds a STREAMING store: JPEG decode runs on a
+    background thread chunk by chunk, so host decode (~60 s for a
+    200-frame 4K sortie on one core) overlaps the grouping stage's device
+    compute instead of serializing before it. A decode failure or a
+    frame-shape mismatch surfaces as FrameStoreError on the first touch
+    of that chunk — the app then falls back to the eager loader.
     """
 
     CHUNK = 8
@@ -48,6 +62,58 @@ class FrameStore:
     def __init__(self, images: Sequence[np.ndarray]):
         self.images = list(images)
         self._chunks: dict = {}
+        self._paths: Optional[List[str]] = None
+        self._events: list = []
+        self.failed: List[int] = []
+
+    @classmethod
+    def from_paths(cls, paths: Sequence[str],
+                   n_threads: Optional[int] = None) -> "FrameStore":
+        import threading
+
+        st = cls([])
+        st._paths = list(paths)
+        st.images = [None] * len(st._paths)
+        n_chunks = -(-len(st._paths) // cls.CHUNK) if st._paths else 0
+        st._events = [threading.Event() for _ in range(n_chunks)]
+        nt = n_threads or min(8, (os.cpu_count() or 1) * 2)
+
+        def _run():
+            for ci in range(n_chunks):
+                c0 = ci * cls.CHUNK
+                chunk = st._paths[c0:c0 + cls.CHUNK]
+                for k, img in enumerate(_decode_host(chunk, nt)):
+                    if img is None or (st.images[0] is not None
+                                       and c0 + k > 0
+                                       and img.shape != st.images[0].shape):
+                        st.failed.append(c0 + k)
+                    else:
+                        st.images[c0 + k] = img
+                st._events[ci].set()
+
+        threading.Thread(target=_run, daemon=True).start()
+        return st
+
+    def wait_all(self) -> None:
+        for ev in self._events:
+            ev.wait()
+
+    @property
+    def shape0(self):
+        """Uniform frame shape (blocks on frame 0 in streaming mode)."""
+        if self._events:
+            self._events[0].wait()
+        if self.images[0] is None:
+            raise FrameStoreError("frame 0 unreadable")
+        return self.images[0].shape
+
+    def host_images(self) -> List[np.ndarray]:
+        """All decoded frames (blocks); raises on any failure."""
+        self.wait_all()
+        if self.failed:
+            raise FrameStoreError(
+                f"unreadable/mismatched frames at indices {self.failed}")
+        return self.images
 
     def __len__(self) -> int:
         return len(self.images)
@@ -55,6 +121,12 @@ class FrameStore:
     def _chunk(self, c0: int):
         if c0 not in self._chunks:
             import jax
+            if self._events:
+                self._events[c0 // self.CHUNK].wait()
+                bad = [i for i in self.failed if c0 <= i < c0 + self.CHUNK]
+                if bad:
+                    raise FrameStoreError(
+                        f"unreadable/mismatched frames at indices {bad}")
             self._chunks[c0] = jax.device_put(
                 np.stack(self.images[c0:c0 + self.CHUNK]))
         return self._chunks[c0]

@@ -112,6 +112,19 @@ def load(folder: str) -> List[np.ndarray]:
     return images
 
 
+def scan_with_ids(folder: str) -> tuple[List[str], List[str]]:
+    """Directory scan only: (paths, ids), no decode.
+
+    The streaming ingest path (runtime/feed.FrameStore.from_paths) decodes
+    in the background so host JPEG decode (~60 s for a 200-frame 4K sortie
+    on one core) overlaps the grouping stage's device compute; this scan
+    provides the counts/ids it needs up front. Same extension set and
+    ordering as loadWithIds (image_loader.cpp:63-95).
+    """
+    paths = _scan(folder, _EXTS_LOAD_IDS)
+    return paths, [extract_image_id(p) for p in paths]
+
+
 def load_with_ids(folder: str) -> LoadedImages:
     """Reference ImageLoader::loadWithIds: >= 1 usable image required."""
     paths = _scan(folder, _EXTS_LOAD_IDS)

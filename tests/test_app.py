@@ -155,3 +155,39 @@ def test_undistort_matches_cv():
     # interior agreement (border handling differs at the frame edge)
     diff = np.abs(ours[8:-8, 8:-8] - ref[8:-8, 8:-8])
     assert np.quantile(diff, 0.995) < 1.5, np.quantile(diff, 0.995)
+
+
+def test_streaming_ingest_fallback_on_garbage(sortie_dir, tmp_path):
+    """A garbage file in the folder trips the streaming FrameStore and the
+    app recovers through the eager loader's skip-unreadable path."""
+    import shutil
+    root = str(tmp_path / "dirty")
+    d = os.path.join(root, "visible", "run")
+    shutil.copytree(os.path.join(sortie_dir, "visible", "run"), d)
+    with open(os.path.join(d, "IMG000_x.jpg"), "wb") as f:
+        f.write(b"not a jpeg at all")
+    out = str(tmp_path / "out")
+    cfg = RunConfig(image_folder=root, image_type="visible",
+                    group="run", output_root=out,
+                    tuning_overrides=dict(
+                        sift_features=512, strip_sift_features=512,
+                        global_sift_features=768,
+                        registration_resol_mpx=-1.0,
+                        seam_estimation_resol_mpx=-1.0, blend_bands=3))
+    assert run_stitch_application(cfg) == 0
+    assert os.path.exists(os.path.join(
+        out, "visible", "run", "visible_run_uav_panorama.jpg"))
+
+
+def test_frame_store_streaming_decode(sortie_dir):
+    """from_paths decodes in the background and matches the eager loader."""
+    from drone_image_stitch_cpp_tpu.runtime.feed import FrameStore
+    d = os.path.join(sortie_dir, "visible", "run")
+    paths = [os.path.join(d, n) for n in sorted(os.listdir(d))]
+    store = FrameStore.from_paths(paths)
+    assert store.shape0 == (160, 208, 3)
+    imgs = store.host_images()
+    eager = loader.load_with_ids(d)
+    assert len(imgs) == len(eager.images)
+    for a, b in zip(imgs, eager.images):
+        np.testing.assert_array_equal(a, b)
