@@ -140,6 +140,19 @@ def _kernel(starts_ref, params_ref, src_hbm, out_ref, src_vmem, sem):
     jax.lax.fori_loop(0, TILE // ROWS, row_body, 0)
 
 
+def _invert_affine_host(a23_np: np.ndarray) -> np.ndarray:
+    """Host-numpy (2, 3) affine inverse.
+
+    The plan path runs per (frame, tile) feed; routing this 2x2 inverse
+    through the device (ops/transform.invert_affine) cost a full relay
+    round-trip (~300 ms) per feed and dominated the tiled-blend stage.
+    """
+    a = np.asarray(a23_np, np.float32)
+    inv_lin = np.linalg.inv(a[:, :2])
+    inv_t = -inv_lin @ a[:, 2]
+    return np.concatenate([inv_lin, inv_t[:, None]], axis=1)
+
+
 def _tile_starts(inv: np.ndarray, out_h: int, out_w: int, src_h: int,
                  src_w: int):
     """Per-tile clamped source-block starts (host, vectorized numpy)."""
@@ -243,7 +256,7 @@ def _run_padded(img2d: jnp.ndarray, a23_np: np.ndarray, out_h: int,
     pw = max(SRC_W, -(-src_w // 128) * 128)
     if (ph, pw) != (src_h, src_w):
         img2d = jnp.pad(img2d, ((0, ph - src_h), (0, pw - src_w)))
-    inv = np.asarray(invert_affine(jnp.asarray(a23_np, jnp.float32)))
+    inv = _invert_affine_host(a23_np)
     starts, ny, nx = _tile_starts(inv, out_h, out_w, ph, pw)
     params = jnp.asarray([inv[0, 0], inv[0, 1], inv[0, 2],
                           inv[1, 0], inv[1, 1], inv[1, 2],
@@ -263,7 +276,7 @@ def warp_plan(a23_np: np.ndarray, out_h: int, out_w: int, src_h: int,
     """
     ph = max(SRC_H, -(-src_h // 8) * 8)
     pw = max(SRC_W, -(-src_w // 128) * 128)
-    inv = np.asarray(invert_affine(jnp.asarray(a23_np, jnp.float32)))
+    inv = _invert_affine_host(a23_np)
     starts, ny, nx = _tile_starts(inv, out_h, out_w, ph, pw)
     params = np.asarray([inv[0, 0], inv[0, 1], inv[0, 2],
                          inv[1, 0], inv[1, 1], inv[1, 2],

@@ -81,51 +81,89 @@ def _snap_strip(d: int) -> int:
                                              "bh", "bw"))
 def _detect_strip_u8(img_u8: jnp.ndarray, true_hw: jnp.ndarray, max_kp: int,
                      out_h: int, out_w: int, bh: int, bw: int):
-    """Fused u8 ingest -> gray -> area resize -> pad -> detect for one
-    bucket-padded strip. All shapes are bucket-derived, so every strip of
-    a sortie runs the SAME compiled program."""
+    """Fused u8 ingest -> gray -> area resize -> edge-extend -> detect for
+    one bucket-padded strip. All shapes are bucket-derived, so every strip
+    of a sortie runs the SAME compiled program.
+
+    The input's pad region is ZERO (the same device copy feeds the
+    compose stages, whose >2-nonblack content masks require black pad),
+    so after the resize the work image is edge-extended by clamp-sampling
+    from the last fully-interior content row/column — a hard zero
+    frontier would otherwise flood the fixed keypoint budget with
+    content-to-black edge responses.
+    """
     gray = bgr_to_gray(img_u8.astype(jnp.float32))
     work = resize_area(gray, out_h, out_w)
-    work = work[:bh, :bw]
-    ph, pw = bh - work.shape[0], bw - work.shape[1]
-    if ph or pw:
-        work = jnp.pad(work, ((0, ph), (0, pw)), mode="edge")
+    # clamp bounds cwh-2/cww-2: the LAST content row/col mixes zeros from
+    # the full-res pad into its area average (darkened by the partial
+    # footprint); replicating the last fully-interior one instead leaves
+    # no gradient at or near the frontier
+    ri = jnp.clip(jnp.arange(bh), 0, jnp.maximum(true_hw[0] - 2, 0))
+    ci = jnp.clip(jnp.arange(bw), 0, jnp.maximum(true_hw[1] - 2, 0))
+    work = work[ri[:, None], ci[None, :]]
     return _detect_batch(work[None], true_hw[None], max_kp, bh, bw)
+
+
+def _detect_strip_dev(dev_img, true_hw, n_feats: int):
+    """Features for one PADDED device-resident strip (see _detect_strip).
+
+    ``dev_img``: (HP, WP, 3) uint8 device array, content at the origin
+    with true dims ``true_hw``. Shapes are bucket-derived, so every strip
+    of a mosaic runs one compiled program. Keypoints come back in
+    full-res strip coordinates via the exact per-axis resize scales.
+    """
+    hp, wp = int(dev_img.shape[0]), int(dev_img.shape[1])
+    h, w = true_hw
+    sc = scale_for_max_dim(hp, wp, _MAX_ALIGN_DIM)
+    out_h = max(1, int(round(hp * sc)))
+    out_w = max(1, int(round(wp * sc)))
+    sy = out_h / float(hp)        # exact content scales of the resize
+    sx = out_w / float(wp)
+    cwh = min(int(round(h * sy)), out_h)
+    cww = min(int(round(w * sx)), out_w)
+    bh, bw = bucket_shape(cwh, cww)
+    feats = _detect_strip_u8(dev_img, jnp.asarray([cwh, cww], jnp.int32),
+                             n_feats, out_h, out_w, bh, bw)
+    xy = jnp.stack([(feats.xy[..., 0] + 0.5) / sx - 0.5,
+                    (feats.xy[..., 1] + 0.5) / sy - 0.5], axis=-1)
+    return feats._replace(xy=xy, sigma=feats.sigma / sc), sc
+
+
+def _pad_strip_u8(img: np.ndarray, hp: int, wp: int) -> np.ndarray:
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0.0, 255.0).astype(np.uint8)
+    h, w = img.shape[:2]
+    if (h, w) == (hp, wp):
+        return img
+    return np.pad(img, ((0, hp - h), (0, wp - w), (0, 0)))
+
+
+@jax.jit
+def _flip_padded(img, true_w):
+    """Horizontal flip of the CONTENT of a padded strip, in place on
+    device: flip the full padded array, then roll the content (now at the
+    right edge) back to the origin. One compiled program for any true
+    width."""
+    return jnp.roll(img[:, ::-1], true_w - img.shape[1], axis=1)
 
 
 def _detect_strip(img: np.ndarray, tuning: StitchTuning):
     """Full-frame features for one strip at the <=2800 px work scale.
 
     The strip crosses the relay as uint8 (4x less traffic than f32,
-    ~200 MB for a 10x20-sortie strip) after an edge-replicate host pad to
-    a 512-snapped bucket: autocropped strip panoramas all differ by a few
-    pixels, and without the pad every strip costs its own server-side XLA
-    compile of the ~670 MB gray/resize program (the dominant cost of the
-    312 s align stage in flagship run 3). Keypoints map back to full-res
-    coordinates with the exact per-axis scales of the fixed resize.
+    ~200 MB for a 10x20-sortie strip) after a host pad to a 512-snapped
+    bucket: autocropped strip panoramas all differ by a few pixels, and
+    without the pad every strip costs its own server-side XLA compile of
+    the ~670 MB gray/resize program (the dominant cost of the 312 s align
+    stage in flagship run 3). The compose path shares ONE padded device
+    copy per strip across align + seam warps + blend feeds
+    (stitch_inter_strips_custom); this host-input variant serves
+    standalone align_strips callers.
     """
     h, w = img.shape[:2]
-    if img.dtype != np.uint8:
-        img = np.clip(img, 0.0, 255.0).astype(np.uint8)
-    bh_full, bw_full = _snap_strip(h), _snap_strip(w)
-    padded = np.pad(img, ((0, bh_full - h), (0, bw_full - w), (0, 0)),
-                    mode="edge")
-    sc = scale_for_max_dim(bh_full, bw_full, _MAX_ALIGN_DIM)
-    out_h = max(1, int(round(bh_full * sc)))
-    out_w = max(1, int(round(bw_full * sc)))
-    sy = out_h / float(bh_full)   # exact content scales of the resize
-    sx = out_w / float(bw_full)
-    cwh = min(int(round(h * sy)), out_h)
-    cww = min(int(round(w * sx)), out_w)
-    bh, bw = bucket_shape(cwh, cww)
-    feats = _detect_strip_u8(jnp.asarray(padded),
-                             jnp.asarray([cwh, cww], jnp.int32),
-                             tuning.global_sift_features, out_h, out_w,
-                             bh, bw)
-    xy = jnp.stack([(feats.xy[..., 0] + 0.5) / sx - 0.5,
-                    (feats.xy[..., 1] + 0.5) / sy - 0.5], axis=-1)
-    feats = feats._replace(xy=xy, sigma=feats.sigma / sc)
-    return feats, sc
+    padded = _pad_strip_u8(img, _snap_strip(h), _snap_strip(w))
+    return _detect_strip_dev(jnp.asarray(padded), (h, w),
+                             tuning.global_sift_features)
 
 
 def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
@@ -144,19 +182,42 @@ def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
     roi_align.py) — vs the reference's up-to-32 sequential SIFT re-runs
     (stitch_global.cpp:261-289,401-421).
     """
+    shapes = [st.shape[:2] for st in strips]
+    dev_padded = [jnp.asarray(_pad_strip_u8(st, _snap_strip(st.shape[0]),
+                                            _snap_strip(st.shape[1])))
+                  for st in strips]
+    transforms, oriented_dev, flipped = _align_strips_dev(
+        dev_padded, shapes, tuning, seed)
+    # materialize oriented host strips at their true dims (standalone
+    # callers; the compose path uses _align_strips_dev directly and keeps
+    # everything device-resident)
+    oriented = [np.asarray(d[:h, :w]) for d, (h, w) in zip(oriented_dev,
+                                                           shapes)]
+    return transforms, oriented, flipped
+
+
+def _align_strips_dev(dev_padded, shapes, tuning: StitchTuning,
+                      seed: int = 0):
+    """align_strips on PADDED device-resident uint8 strips.
+
+    ``dev_padded[i]``: (HP, WP, 3) uint8, content at origin with true
+    dims ``shapes[i]``. Returns (transforms, oriented_dev, flipped) where
+    ``oriented_dev`` entries keep the same padded layout (a chosen flip
+    runs on device: full flip + content roll back to the origin)."""
     log = get_logger()
-    n = len(strips)
+    n = len(dev_padded)
     transforms = [np.eye(3, dtype=np.float32)]
     flipped = [False]
-    oriented = [strips[0]]
-    f_prev, s_prev = _detect_strip(strips[0], tuning)
+    oriented = [dev_padded[0]]
+    f_prev, s_prev = _detect_strip_dev(dev_padded[0], shapes[0],
+                                       tuning.global_sift_features)
     for i in range(1, n):
-        cur = strips[i]
-        f_cur, _ = _detect_strip(cur, tuning)
-        f_flip = F.mirror_features(f_cur, cur.shape[1])
-        cur_flip = cur[:, ::-1].copy()
+        cur_w = shapes[i][1]
+        f_cur, _ = _detect_strip_dev(dev_padded[i], shapes[i],
+                                     tuning.global_sift_features)
+        f_flip = F.mirror_features(f_cur, cur_w)
         direct, flip_est = align_pair_banked(
-            f_prev, s_prev, f_cur, f_flip, oriented[i - 1].shape, cur.shape,
+            f_prev, s_prev, f_cur, f_flip, shapes[i - 1], shapes[i],
             tuning, seed + i)
         # choose by inliers then ratio (:406-421)
         use_flip = flip_est.ok and (
@@ -179,7 +240,8 @@ def align_strips(strips: List[np.ndarray], tuning: StitchTuning,
                 f"strip {i} chained transform is non-finite")
         transforms.append(chained)
         flipped.append(bool(use_flip))
-        oriented.append(cur_flip if use_flip else cur)
+        oriented.append(_flip_padded(dev_padded[i], cur_w) if use_flip
+                        else dev_padded[i])
         f_prev = f_flip if use_flip else f_cur
     return transforms, oriented, flipped
 
@@ -262,7 +324,20 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     if n < 2:
         raise GlobalStitchError("need at least 2 strips")
 
-    transforms, strips, _ = align_strips(strips, tuning, seed)
+    # ONE padded uint8 device copy per strip, shared by align detect, the
+    # seam-scale warps, and every blend feed (each full pass over ten
+    # 4K-tall strips costs ~30-40 s of relay transfer). All strips share
+    # the common 512-snapped max dims so every stage runs one compiled
+    # program; the pad is black, which the >2-nonblack content masks
+    # exclude exactly like the reference's black wedges
+    # (stitch_global.cpp:109-117), and canvas geometry keeps the TRUE dims.
+    shapes = [st.shape[:2] for st in strips]
+    hp_ = B.align_up(max(h for h, _ in shapes), _STRIP_BUCKET)
+    wp_ = B.align_up(max(w for _, w in shapes), _STRIP_BUCKET)
+    dev_strips = [jnp.asarray(_pad_strip_u8(st, hp_, wp_))
+                  for st in strips]
+    transforms, dev_strips, _flips = _align_strips_dev(
+        dev_strips, shapes, tuning, seed)
     t_aligned = time.perf_counter()
     log.log("GlobalCustom", "align done",
             seconds=round(t_aligned - t_start, 2))
@@ -270,8 +345,7 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     # canvas bbox over transformed corners (:439-458) — host numpy (a
     # device dispatch per strip for (2,3) geometry is pure relay latency)
     boxes = []
-    for st, t in zip(strips, transforms):
-        ih, iw = st.shape[:2]
+    for (ih, iw), t in zip(shapes, transforms):
         t2 = np.asarray(t[:2, :], np.float32)
         corners = np.asarray([[0.0, 0.0], [iw - 1.0, 0.0],
                               [iw - 1.0, ih - 1.0], [0.0, ih - 1.0]],
@@ -303,25 +377,6 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     log.log("GlobalCustom", "seam scale", scale=round(seam_scale, 4),
             h=sh, w=sw)
 
-    # device-resident strips: transferred ONCE and kept UINT8 (ten 4K-tall
-    # strip panoramas as f32 alone exceed single-chip HBM; the fused feed
-    # converts + applies gains on the fly), reused by the seam stage and
-    # every tile feed. ALL strips are padded to their common max dims
-    # (aligned up to 256) so every strip shares ONE compiled seam-warp /
-    # fused-feed program (each distinct (h, w) is a separate XLA compile —
-    # minutes each on the remote relay; strip heights are data-dependent
-    # registration drift, so per-strip dims rarely coincide); the pad is
-    # black, which the >2 nonblack content masks exclude exactly like the
-    # reference's black wedges (stitch_global.cpp:109-117), and canvas
-    # geometry (boxes above) keeps using the TRUE dims.
-    hp_ = B.align_up(max(st.shape[0] for st in strips), 256)
-    wp_ = B.align_up(max(st.shape[1] for st in strips), 256)
-    dev_strips = []
-    for st in strips:
-        if (hp_, wp_) != st.shape[:2]:
-            st = np.pad(st, ((0, hp_ - st.shape[0]),
-                             (0, wp_ - st.shape[1]), (0, 0)))
-        dev_strips.append(jnp.asarray(st))
     to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
 
     seam_imgs, seam_masks = [], []
