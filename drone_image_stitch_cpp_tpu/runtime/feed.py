@@ -38,8 +38,8 @@ class FrameStoreError(RuntimeError):
 class FrameStore:
     """Transfer-once device cache of same-shape uint8 frames.
 
-    The remote-TPU relay moves ~40-70 MB/s, so a 200-frame 4K sortie is
-    ~1.6 GB as uint8 — every full pass over the frames costs ~100 s of
+    The remote-TPU relay moves ~50 MB/s, so a 200-frame 4K sortie is
+    ~5 GB as uint8 — every full pass over the frames costs ~100 s of
     pure host->device transfer. Grouping detect, strip registration, and
     the compose feeds all consume the SAME decoded frames; this store
     device_puts each 8-frame chunk once (uint8, aligned with the detect
@@ -79,6 +79,13 @@ class FrameStore:
         nt = n_threads or min(8, (os.cpu_count() or 1) * 2)
 
         def _run():
+            # NB deliberately NO eager device_put here: the relay
+            # executes transfers and compute FIFO, so enqueueing chunks
+            # ahead of the consumer makes every detect dispatch queue
+            # behind future transfers (measured: grouping detect 147 s
+            # on-demand vs 157-220 s with eager enqueue). The consumer's
+            # on-demand _chunk() is exactly 1-ahead of compute, which
+            # already overlaps transfer and detect.
             for ci in range(n_chunks):
                 c0 = ci * cls.CHUNK
                 chunk = st._paths[c0:c0 + cls.CHUNK]
@@ -127,6 +134,8 @@ class FrameStore:
                 if bad:
                     raise FrameStoreError(
                         f"unreadable/mismatched frames at indices {bad}")
+                if c0 in self._chunks:       # decode thread enqueued it
+                    return self._chunks[c0]
             self._chunks[c0] = jax.device_put(
                 np.stack(self.images[c0:c0 + self.CHUNK]))
         return self._chunks[c0]
