@@ -261,7 +261,8 @@ def mb_tile_grid(canvas_h: int, canvas_w: int, bands: int,
 
 def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                      frame_boxes, feed_tile, tile: int | None = None,
-                     devices=None, on_frame_retired=None):
+                     devices=None, on_frame_retired=None,
+                     feed_tile_many=None):
     """Stream a multiband blend through canvas tiles (HBM-bounded).
 
     ``frame_boxes``: per-frame (x0, y0, x1, y1) canvas-space bounds (host
@@ -283,6 +284,12 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
     ``on_frame_retired(i)``: called once no remaining tile intersects
     frame i — callers drop that frame's device residence (HBM headroom
     on wide mosaics where early strips finish long before the last tile).
+
+    ``feed_tile_many(canvas_t, sel, ey0, ex0, eh, ew) -> canvas_t``:
+    optional batched feed — one call per tile with every intersecting
+    frame index, letting the caller fuse the whole tile's feeds into a
+    single dispatch (per-feed dispatches cost ~200-300 ms of relay
+    round-trip each).
     """
     import contextlib
 
@@ -304,14 +311,13 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                 last_tile[i] = t_idx
 
     def materialize(entry):
-        # fetch uint8, not float32: tile cores are ~100 MB f32 at 4K strip
-        # heights and the host link is the compose bottleneck. The FULL
-        # ext window is fetched and cropped on host: a device-side core
-        # crop would have a canvas-height-dependent shape and recompile
-        # per strip (ext shapes are snapped; core shapes are not).
-        cy0, cy1, cx0, cx1, ey0, ex0, img = entry
+        # fetch uint8, not float32, and only the (snapped) core window —
+        # the host link is the compose bottleneck and the ext halo is
+        # ~30% extra bytes (see _blend_u8_core). (oy, ox) is the fetched
+        # window's canvas origin.
+        cy0, cy1, cx0, cx1, oy, ox, img = entry
         a = np.asarray(img)
-        out[cy0:cy1, cx0:cx1] = a[cy0 - ey0:cy1 - ey0, cx0 - ex0:cx1 - ex0]
+        out[cy0:cy1, cx0:cx1] = a[cy0 - oy:cy1 - oy, cx0 - ox:cx1 - ox]
 
     for t_idx, (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in \
             enumerate(tiles):
@@ -321,15 +327,29 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
         eh, ew = ey1 - ey0, ex1 - ex0
         with ctx:
             canvas_t = mb_prepare(eh, ew, bands)
-            fed = 0
-            for i, (fx0, fy0, fx1, fy1) in enumerate(frame_boxes):
-                if fx1 <= ex0 or fx0 >= ex1 or fy1 <= ey0 or fy0 >= ey1:
-                    continue
-                canvas_t = feed_tile(canvas_t, i, ey0, ex0, eh, ew)
-                fed += 1
+            sel = [i for i, (fx0, fy0, fx1, fy1) in enumerate(frame_boxes)
+                   if not (fx1 <= ex0 or fx0 >= ex1 or fy1 <= ey0
+                           or fy0 >= ey1)]
+            fed = len(sel)
+            if sel and feed_tile_many is not None:
+                canvas_t = feed_tile_many(canvas_t, sel, ey0, ex0, eh, ew)
+            else:
+                for i in sel:
+                    canvas_t = feed_tile(canvas_t, i, ey0, ex0, eh, ew)
             if fed:
-                pending.append((cy0, cy1, cx0, cx1, ey0, ex0,
-                                _blend_u8(canvas_t, out_h=eh, out_w=ew)))
+                # fetch the core only, snapped to a few static shapes (the
+                # halo is ~30% of the ext window's bytes; crop offsets
+                # clamp so the snapped window stays inside the ext dims)
+                crop_h = min(align_up(cy1 - cy0, 256), eh)
+                crop_w = min(align_up(cx1 - cx0, 256), ew)
+                crop_y = min(cy0 - ey0, eh - crop_h)
+                crop_x = min(cx0 - ex0, ew - crop_w)
+                pending.append((cy0, cy1, cx0, cx1, ey0 + crop_y,
+                                ex0 + crop_x,
+                                _blend_u8_core(canvas_t, crop_y, crop_x,
+                                               out_h=eh, out_w=ew,
+                                               crop_h=crop_h,
+                                               crop_w=crop_w)))
         if on_frame_retired is not None:
             # feeds are enqueued; JAX keeps donated/arg buffers alive until
             # execution, so the caller may drop its references now
@@ -358,6 +378,22 @@ def _blend_u8(canvas: MultiBandCanvas, *, out_h: int, out_w: int):
     accumulators back to the allocator."""
     img, _ = mb_blend(canvas, out_h, out_w)
     return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("out_h", "out_w", "crop_h", "crop_w"))
+def _blend_u8_core(canvas: MultiBandCanvas, crop_y, crop_x, *, out_h: int,
+                   out_w: int, crop_h: int, crop_w: int):
+    """_blend_u8 followed by a device-side core crop.
+
+    The caller fetches only the tile CORE (the ext window's halo is ~30%
+    extra bytes over the ~50 MB/s relay link). Crop offsets are traced;
+    crop dims are snapped by the caller so the handful of (crop_h,
+    crop_w) buckets reuse compiled programs."""
+    img, _ = mb_blend(canvas, out_h, out_w)
+    u8 = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+    return jax.lax.dynamic_slice(u8, (crop_y, crop_x, 0),
+                                 (crop_h, crop_w, 3))
 
 
 def mb_blend(canvas: MultiBandCanvas, out_h: int, out_w: int):

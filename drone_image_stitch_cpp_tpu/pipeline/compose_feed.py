@@ -68,11 +68,7 @@ def device_colocator():
     return on_dev, drop_frame
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0,),
-    static_argnames=("rh", "rw", "ny", "nx", "ph", "pw", "use_pallas",
-                     "has_gain", "persp", "mode"))
-def _feed_prog(cv, img, gain_m1, chan_gain, seam_mask, t23, h33, starts,
+def _feed_body(cv, img, gain_m1, chan_gain, seam_mask, t23, h33, starts,
                params, tlx, tly, gx, gy, inv_seam, *, rh: int, rw: int,
                ny: int, nx: int, ph: int, pw: int, use_pallas: bool,
                has_gain: bool, persp: bool, mode: str):
@@ -140,7 +136,111 @@ def _feed_prog(cv, img, gain_m1, chan_gain, seam_mask, t23, h33, starts,
     return B.mb_feed(cv, wimg, weight, tlx, tly, cmask)
 
 
+_feed_prog = functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("rh", "rw", "ny", "nx", "ph", "pw", "use_pallas",
+                     "has_gain", "persp", "mode"))(_feed_body)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("k", "rh", "rw", "ny", "nx", "ph", "pw",
+                     "use_pallas", "has_gain", "persp", "mode"))
+def _feed_many_prog(cv, imgs, gain_m1s, chan_gains, seam_masks, t23s,
+                    h33s, startss, paramss, tlxs, tlys, gxs, gys,
+                    inv_seam, *, k: int, rh: int, rw: int, ny: int,
+                    nx: int, ph: int, pw: int, use_pallas: bool,
+                    has_gain: bool, persp: bool, mode: str):
+    """Feed ``k`` frames into the canvas pyramid as ONE program.
+
+    Per-(frame, tile) dispatches cost ~200-300 ms of relay round-trip
+    each (a 20-frame strip's tiled blend ran ~41 of them); a fori_loop
+    over the stacked per-frame inputs pays that once per TILE. All frames
+    of one call share the window bucket and fast-path flags — callers
+    group by those (pipeline/strip.py, pipeline/global_.py).
+    """
+
+    def body(i, cv):
+        return _feed_body(
+            cv, imgs[i], gain_m1s[i], chan_gains[i], seam_masks[i],
+            t23s[i], h33s[i], startss[i], paramss[i], tlxs[i], tlys[i],
+            gxs[i], gys[i], inv_seam, rh=rh, rw=rw, ny=ny, nx=nx, ph=ph,
+            pw=pw, use_pallas=use_pallas, has_gain=has_gain, persp=persp,
+            mode=mode)
+
+    return jax.lax.fori_loop(0, k, body, cv)
+
+
 _ZERO1 = np.zeros((8, 8), np.float32)
+
+
+def feed_frames_grouped(cv, entries, seam_scale: float, mode: str):
+    """Feed several frames into ``cv`` with as few dispatches as possible.
+
+    ``entries``: list of dicts with keys ``img`` (device (H, W, 3) u8/f32,
+    same shape across entries), ``seam_mask``, ``t_full`` (host (2, 3)),
+    ``tlx``/``tly``/``gx``/``gy``, ``rh``/``rw`` (window bucket), optional
+    ``gain_m1``/``chan_gain``/``h33``, ``persp``. Entries sharing
+    (rh, rw, persp, pallas-ability, has-gain) fuse into one
+    _feed_many_prog dispatch; singletons use the per-frame program.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    groups: dict = {}
+    for e in entries:
+        use_pallas = (not e.get("persp", False)
+                      and (on_tpu or PW._INTERPRET)
+                      and PW.pallas_warp_supported(e["t_full"]))
+        key = (e["rh"], e["rw"], bool(e.get("persp", False)), use_pallas,
+               e.get("gain_m1") is not None)
+        groups.setdefault(key, []).append(e)
+    for (rh, rw, persp, use_pallas, has_gain), es in groups.items():
+        if len(es) == 1:
+            e = es[0]
+            cv = feed_frame(cv, e["img"], e["seam_mask"], e["t_full"],
+                            e["tlx"], e["tly"], e["gx"], e["gy"],
+                            seam_scale, rh, rw, mode,
+                            gain_m1=e.get("gain_m1"),
+                            chan_gain=e.get("chan_gain"), persp=persp,
+                            h33=e.get("h33"))
+            continue
+        k = len(es)
+        h = int(es[0]["img"].shape[0])
+        w = int(es[0]["img"].shape[1])
+        if use_pallas:
+            plans = [PW.warp_plan(e["t_full"], rh, rw, h, w) for e in es]
+            startss = jnp.asarray(np.stack([p[0] for p in plans]))
+            paramss = jnp.asarray(np.stack([p[1] for p in plans]))
+            _, _, ny, nx, ph, pw = plans[0]
+        else:
+            startss = jnp.zeros((k, 1, 4), jnp.int32)
+            paramss = jnp.zeros((k, 8), jnp.float32)
+            ny = nx = 1
+            ph, pw = h, w
+        t23s = jnp.asarray(np.stack([np.asarray(e["t_full"], np.float32)
+                                     for e in es]))
+        h33s = jnp.asarray(np.stack(
+            [np.asarray(e["h33"], np.float32) if e.get("h33") is not None
+             else np.eye(3, dtype=np.float32) for e in es]))
+        gain_m1s = (jnp.stack([e["gain_m1"] for e in es]) if has_gain
+                    else jnp.zeros((k, 8, 8), jnp.float32))
+        chan_gains = jnp.asarray(np.stack(
+            [np.asarray(e["chan_gain"], np.float32)
+             if e.get("chan_gain") is not None
+             else np.ones(3, np.float32) for e in es]))
+        cv = _feed_many_prog(
+            cv, jnp.stack([e["img"] for e in es]),
+            gain_m1s, chan_gains,
+            jnp.stack([e["seam_mask"] for e in es]),
+            t23s, h33s, startss, paramss,
+            jnp.asarray([e["tlx"] for e in es], jnp.int32),
+            jnp.asarray([e["tly"] for e in es], jnp.int32),
+            jnp.asarray([e["gx"] for e in es], jnp.float32),
+            jnp.asarray([e["gy"] for e in es], jnp.float32),
+            jnp.float32(1.0 / max(seam_scale, 1e-12)),
+            k=k, rh=rh, rw=rw, ny=ny, nx=nx, ph=ph, pw=pw,
+            use_pallas=use_pallas, has_gain=has_gain, persp=persp,
+            mode=mode)
+    return cv
 
 
 def feed_frame(cv, img, seam_mask, t_full: np.ndarray, tlx: int,

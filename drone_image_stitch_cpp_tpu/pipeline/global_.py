@@ -469,6 +469,28 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
                              seam_scale, rh_b, rw_b, mode="global",
                              chan_gain=total_gains[i])
 
+    def feed_many(cv, sel, oy, ox, ch_, cw_):
+        """Whole-tile feed: every intersecting strip in as few fused
+        dispatches as the window buckets allow (pipeline/compose_feed
+        ._feed_many_prog; per-feed dispatches cost ~200-300 ms of relay
+        round-trip each)."""
+        entries = []
+        for i in sel:
+            bx0, by0 = boxes[i][0] - x0 - ox, boxes[i][1] - y0 - oy
+            bx1, by1 = boxes[i][2] - x0 - ox, boxes[i][3] - y0 - oy
+            tlx, tly, rh_b, rw_b = B.bucketed_window(bx0, by0, bx1, by1,
+                                                     bands, ch_, cw_)
+            gx, gy = ox + tlx, oy + tly
+            t_full = t_canvas[i].copy()
+            t_full[0, 2] -= gx
+            t_full[1, 2] -= gy
+            entries.append(dict(
+                img=_on_dev(("img", i), dev_strips[i], cv.wacc[0]),
+                seam_mask=_on_dev(("seam", i), seam_out[i], cv.wacc[0]),
+                t_full=t_full, tlx=tlx, tly=tly, gx=gx, gy=gy,
+                rh=rh_b, rw=rw_b, chan_gain=total_gains[i]))
+        return CF.feed_frames_grouped(cv, entries, seam_scale, "global")
+
     if use_tiled:
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
                        for b in boxes]
@@ -483,7 +505,8 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         result = B.mb_compose_tiled(
             canvas_h, canvas_w, bands, frame_boxes, feed_roi,
             devices=(list(mesh.devices.flat) if mesh is not None
-                     else None), on_frame_retired=retire)
+                     else None), on_frame_retired=retire,
+            feed_tile_many=feed_many)
     else:
         canvas = B.mb_prepare(canvas_h, canvas_w, bands)
         for i in range(n):

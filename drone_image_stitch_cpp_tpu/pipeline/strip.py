@@ -359,6 +359,38 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
             h33=(np.vstack([t_full, [0.0, 0.0, 1.0]]).astype(np.float32)
                  if persp else None))
 
+    def feed_entry(i, oy, ox, ch_, cw_, like):
+        """Per-frame feed parameters for the grouped tile feed."""
+        bx0, by0 = boxes[i][0] - x0 - ox, boxes[i][1] - y0 - oy
+        bx1, by1 = boxes[i][2] - x0 - ox, boxes[i][3] - y0 - oy
+        tlx, tly, rh_b, rw_b = B.bucketed_window(
+            float(bx0), float(by0), float(bx1), float(by1), bands,
+            ch_, cw_)
+        gx, gy = ox + tlx, oy + tly
+        t_full = np.vstack([t_canvas[i], [0.0, 0.0, 1.0]]).astype(np.float32)
+        t_full[0, 2] -= gx
+        t_full[1, 2] -= gy
+        t_full = t_full[:2]
+        return dict(
+            img=_on_dev(("img", i), dev_imgs[i], like),
+            seam_mask=_on_dev(("seam", i), seam_masks[i], like),
+            gain_m1=(_on_dev(("gain", i), gain_m1_list[i], like)
+                     if gain_m1_list is not None else None),
+            t_full=t_full, tlx=tlx, tly=tly, gx=gx, gy=gy,
+            rh=rh_b, rw=rw_b, persp=persp,
+            h33=(np.vstack([t_full, [0.0, 0.0, 1.0]]).astype(np.float32)
+                 if persp else None))
+
+    uniform = len({im.shape for im in images}) == 1
+
+    def feed_many(cv, sel, oy, ox, ch_, cw_):
+        """Whole-tile feed: every intersecting frame in as few fused
+        dispatches as the window buckets allow (per-feed dispatches cost
+        ~200-300 ms of relay round-trip each)."""
+        entries = [feed_entry(i, oy, ox, ch_, cw_, cv.wacc[0])
+                   for i in sel]
+        return CF.feed_frames_grouped(cv, entries, seam_scale, "strip")
+
     if use_tiled:
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
                        for b in boxes]
@@ -366,7 +398,8 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
             return B.mb_compose_tiled(
                 canvas_h, canvas_w, bands, frame_boxes, feed_roi,
                 devices=(list(mesh.devices.flat) if mesh is not None
-                         else None))
+                         else None),
+                feed_tile_many=(feed_many if uniform else None))
 
     with log.timer(stage, "blend"):
         canvas = B.mb_prepare(canvas_h, canvas_w, bands)

@@ -259,3 +259,41 @@ def test_tiled_compose_retires_frames_after_last_tile():
     # every frame produced content
     for i, (ox, oy) in enumerate(offs):
         assert out[int(oy) + 48, int(ox) + 80].sum() > 0, i
+
+
+def test_feed_many_matches_sequential_feeds():
+    """One fused _feed_many_prog dispatch == the same feeds one by one."""
+    import jax
+    import numpy as np
+    from drone_image_stitch_cpp_tpu.ops import blend as B
+    from drone_image_stitch_cpp_tpu.pipeline import compose_feed as CF
+
+    rng = np.random.default_rng(5)
+    rh = rw = 64
+    bands = 2
+    imgs = [jnp.asarray(rng.uniform(0, 255, (48, 56, 3))
+                        .astype(np.float32)) for _ in range(3)]
+    seams = [jnp.asarray(rng.uniform(0, 1, (16, 16)).astype(np.float32))
+             for _ in range(3)]
+    entries = []
+    seam_scale = 0.25
+    for k in range(3):
+        t = np.asarray([[1.0, 0.0, 2.0 * k], [0.0, 1.0, 1.0 * k]],
+                       np.float32)
+        entries.append(dict(img=imgs[k], seam_mask=seams[k], t_full=t,
+                            tlx=0, tly=0, gx=0.0, gy=0.0, rh=rh, rw=rw,
+                            chan_gain=np.asarray([1.0, 1.1, 0.9],
+                                                 np.float32)))
+    cv_seq = B.mb_prepare(rh, rw, bands)
+    for e in entries:
+        cv_seq = CF.feed_frame(cv_seq, e["img"], e["seam_mask"],
+                               e["t_full"], e["tlx"], e["tly"], e["gx"],
+                               e["gy"], seam_scale, rh, rw, "global",
+                               chan_gain=e["chan_gain"])
+    cv_many = B.mb_prepare(rh, rw, bands)
+    cv_many = CF.feed_frames_grouped(cv_many, entries, seam_scale,
+                                     "global")
+    for a, b in zip(jax.tree_util.tree_leaves(cv_seq),
+                    jax.tree_util.tree_leaves(cv_many)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-5)

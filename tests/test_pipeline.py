@@ -211,3 +211,23 @@ def test_frame_store_detect_equivalence(ortho):
     pano_store = stitch_strip(imgs, _small_tuning(), store=store,
                               indices=list(range(len(imgs))))
     np.testing.assert_array_equal(pano_plain, pano_store)
+
+
+def test_strip_tiled_fused_compose_matches_untiled(ortho, monkeypatch):
+    """Tiled compose (fused per-tile feeds + core-crop fetch) == the
+    whole-canvas compose on the same strip."""
+    from drone_image_stitch_cpp_tpu.ops import blend as B
+    from drone_image_stitch_cpp_tpu.pipeline.strip import (
+        compose_strip, estimate_strip_transforms)
+
+    imgs, _, _ = render_sortie(ortho, 1, 4, frame_h=160, frame_w=224,
+                               overlap=0.6)
+    tuning = _small_tuning()
+    kept, transforms, _ = estimate_strip_transforms(imgs, tuning)
+    imgs = [imgs[i] for i in kept]
+    plain = compose_strip(imgs, transforms, tuning)
+    monkeypatch.setattr(B, "TILED_THRESHOLD_BYTES", 1)
+    tiled = compose_strip(imgs, transforms, tuning)
+    assert plain.shape == tiled.shape
+    diff = np.abs(plain.astype(np.int16) - tiled.astype(np.int16))
+    assert diff.max() <= 1, diff.max()
