@@ -140,23 +140,56 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         from .runtime.feed import FrameStore, FrameStoreError
 
         calib = tuning.calibration.find(cfg.image_type)
-        store = images = ids = None
+        store = store_half = images = ids = None
+        detect_coord_scale = 1.0
         if calib is None or not calib.is_ready():
             log.log("Main", "calibration not ready; skipping undistort")
             try:
                 with log.timer("Main", "scan"):
                     paths, ids = scan_with_ids(cfg.input_dir)
                 if len(paths) >= 2:
-                    store = FrameStore.from_paths(paths)
-                    sh = store.shape0
+                    # two streaming stores when frames are large enough: a
+                    # HALF-res store (libjpeg DCT scaling) feeds every
+                    # detect stage (grouping <=1800 px and registration at
+                    # ~0.45 MP both work far below half-res 4K) at 1/4 the
+                    # decode time and relay traffic; the FULL-res store
+                    # decodes behind it and is touched only by the compose
+                    # feeds, whose chunk transfers then overlap strip
+                    # compute instead of serializing in front of grouping.
+                    # Gate: half-res must still cover both detect budgets,
+                    # else detects would run BELOW their configured work
+                    # resolution (small-frame sorties use one full store).
+                    use_half = False
+                    try:
+                        from PIL import Image
+                        with Image.open(paths[0]) as im0:
+                            w0, h0 = im0.size
+                        use_half = ((h0 // 2) * (w0 // 2) * 1e-6
+                                    >= max(tuning.registration_resol_mpx,
+                                           0.0)
+                                    and max(h0, w0) // 2 >= 1800)
+                    except Exception:
+                        use_half = False
+                    if use_half:
+                        store_half = FrameStore.from_paths(paths,
+                                                           scale_denom=2)
+                        store = FrameStore.from_paths(paths,
+                                                      after=store_half)
+                        detect_coord_scale = 2.0
+                    else:
+                        store = FrameStore.from_paths(paths)
+                    sh = (store_half or store).shape0
                     if not (len(sh) == 3 and sh[2] == 3
-                            and store.images[0].dtype == np.uint8):
+                            and (store_half or store).images[0].dtype
+                            == np.uint8):
                         raise FrameStoreError("frame 0 is not BGR uint8")
-                    log.log("Main", "streaming ingest", n=len(paths))
+                    log.log("Main", "streaming ingest", n=len(paths),
+                            detect=("half-res" if use_half else "full"))
             except FrameStoreError as e:
                 log.log("Main", "streaming ingest unavailable",
                         error=str(e))
-                store = images = ids = None
+                store = store_half = images = ids = None
+                detect_coord_scale = 1.0
 
         if store is None:
             with log.timer("Main", "load+decode"):
@@ -197,11 +230,11 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         if strips_done is None:
             try:
                 with log.timer("Main", "grouping"):
-                    groups = group_boustrophedon(images, ids, tuning,
-                                                 store=store)
-                if images is None:
-                    images = store.host_images()
-                    log.log("Main", "loaded", n=len(images))
+                    groups = group_boustrophedon(
+                        images, ids, tuning,
+                        store=(store_half if store_half is not None
+                               else store),
+                        coord_scale=detect_coord_scale)
             except FrameStoreError as e:
                 # unreadable/mismatched files: recover with the eager
                 # loader (skip-unreadable, image_loader.cpp:52-59)
@@ -216,7 +249,8 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 ids = loaded.ids
                 images = _undistort_if_ready(loaded.images, tuning,
                                              cfg.image_type)
-                store = None
+                store = store_half = None
+                detect_coord_scale = 1.0
                 if (len({im.shape for im in images}) == 1
                         and images[0].ndim == 3 and images[0].shape[2] == 3
                         and images[0].dtype == np.uint8):
@@ -232,14 +266,17 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                     sift_features=tuning.strip_sift_features)
                 strip_panos = []
                 for gi, g in enumerate(groups):
-                    imgs = [images[k] for k in g.indices]
+                    imgs = (None if images is None
+                            else [images[k] for k in g.indices])
                     tags = make_strip_tags(gi, g.ids)
                     with log.timer(f"Strip{gi}", "stitch"):
                         pano = stitch_strip(
                             imgs, strip_tuning, stage=f"Strip{gi}",
                             range_width_override=tuning.range_width,
                             image_tags=tags, mesh=mesh, store=store,
-                            indices=list(g.indices))
+                            indices=list(g.indices),
+                            detect_store=store_half,
+                            detect_coord_scale=detect_coord_scale)
                     with log.timer(f"Strip{gi}", "crop+save"):
                         pano = auto_crop_black_border(pano)
                         strip_panos.append(pano)
@@ -250,7 +287,8 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 strips_done = strip_panos
             else:
                 # single-group path (stitch_app.cpp:246-260)
-                flat = [images[k] for g in groups for k in g.indices]
+                flat = (None if images is None
+                        else [images[k] for g in groups for k in g.indices])
                 flat_idx = [k for g in groups for k in g.indices]
                 with log.timer("Main", "single-group stitch"):
                     pano = stitch_strip(
@@ -258,7 +296,9 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                             sift_features=tuning.strip_sift_features),
                         stage="Single",
                         range_width_override=tuning.range_width, mesh=mesh,
-                        store=store, indices=flat_idx)
+                        store=store, indices=flat_idx,
+                        detect_store=store_half,
+                        detect_coord_scale=detect_coord_scale)
                 pano = auto_crop_black_border(pano)
                 _write_image(cfg.output_path, pano)
                 log.log("Main", "wrote", path=cfg.output_path)
@@ -266,6 +306,8 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
 
         if store is not None:
             store.clear()   # frames are done; free HBM for the global canvas
+        if store_half is not None:
+            store_half.clear()
 
         if len(strips_done) == 1:
             panorama = strips_done[0]

@@ -74,7 +74,8 @@ def _detect_batch_u8(frames_u8: jnp.ndarray, max_kp: int, wh: int, ww: int,
 
 def detect_features(images: List[np.ndarray], n_features: int,
                     resol_mpx: float, store=None,
-                    indices: List[int] | None = None
+                    indices: List[int] | None = None,
+                    coord_scale: float = 1.0
                     ) -> tuple[F.Features, float]:
     """Batched feature extraction; frames may differ in size.
 
@@ -93,6 +94,13 @@ def detect_features(images: List[np.ndarray], n_features: int,
     only builds a store for such inputs), so shape math comes from the
     store's shape0 — in streaming mode later frames may still be
     decoding when this runs.
+
+    ``coord_scale``: the store frames' downscale factor vs the TRUE
+    full-resolution frames (e.g. 2.0 for a half-res DCT-scaled decode
+    store). Keypoint coordinates/sigmas come back in true full-res
+    pixels and the returned work scale is relative to full resolution,
+    so downstream geometry (RANSAC thresholds, transforms) is identical
+    to a full-res detect at the same work resolution.
     """
     if store is not None:
         indices = list(indices if indices is not None
@@ -114,11 +122,12 @@ def detect_features(images: List[np.ndarray], n_features: int,
                 lambda a, t=len(ch): a[:t], fc))
         feats = (outs[0] if len(outs) == 1 else jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *outs))
-        sx = ww / float(w0)
-        sy = wh / float(h0)
+        sx = ww / float(w0) / coord_scale
+        sy = wh / float(h0) / coord_scale
         xy = jnp.stack([(feats.xy[..., 0] + 0.5) / sx - 0.5,
                         (feats.xy[..., 1] + 0.5) / sy - 0.5], axis=-1)
-        return feats._replace(xy=xy, sigma=feats.sigma / scale), scale
+        eff = scale / coord_scale
+        return feats._replace(xy=xy, sigma=feats.sigma / eff), eff
     h0, w0 = images[0].shape[:2]
     scale = scale_for_megapixels(h0, w0, resol_mpx)
 

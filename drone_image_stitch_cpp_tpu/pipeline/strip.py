@@ -89,7 +89,8 @@ def estimate_strip_transforms(images: List[np.ndarray],
                               matching_mask: Optional[np.ndarray] = None,
                               stage: str = "Strip", seed: int = 0,
                               mesh=None, store=None,
-                              indices: Optional[List[int]] = None):
+                              indices: Optional[List[int]] = None,
+                              coord_scale: float = 1.0):
     """Registration: features -> banded pair graph -> component -> BA.
 
     Returns (kept_indices, transforms (n_kept, 2, 3) frame->frame0, graph).
@@ -97,11 +98,12 @@ def estimate_strip_transforms(images: List[np.ndarray],
     data-parallel across it (see pairgraph.register_pairs).
     """
     log = get_logger()
-    n = len(images)
+    n = len(images) if images is not None else len(indices)
     rw = range_width if range_width is not None else tuning.range_width
     feats, scale = detect_features(images, tuning.sift_features,
                                    tuning.registration_resol_mpx,
-                                   store=store, indices=indices)
+                                   store=store, indices=indices,
+                                   coord_scale=coord_scale)
     if matching_mask is not None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
                  if matching_mask[i, j] or matching_mask[j, i]]
@@ -132,8 +134,12 @@ def estimate_strip_transforms(images: List[np.ndarray],
                 or ni < tuning.min_inliers:
             kp_l = int(np.asarray(feats.valid[0]).sum())
             kp_r = int(np.asarray(feats.valid[1]).sum())
+            sh_l = (images[0].shape if images is not None
+                    else tuple(store.shape0))
+            sh_r = (images[1].shape if images is not None
+                    else tuple(store.shape0))
             log.log(stage, "failure diagnostics", idx=1,
-                    left=f"{images[0].shape}", right=f"{images[1].shape}",
+                    left=f"{sh_l}", right=f"{sh_r}",
                     kp_left=kp_l, kp_right=kp_r,
                     good_matches=f"{ng}(min={tuning.min_good_matches})",
                     model=("failed" if not okp else
@@ -201,11 +207,19 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     it (ops/blend.mb_compose_tiled).
     """
     log = get_logger()
-    n = len(images)
-    h, w = images[0].shape[:2]
+    if images is None:
+        # streaming path: host pixels only materialize on the (rare)
+        # compositing-rescale branch; shapes come from the store contract
+        n = len(indices)
+        h, w = store.shape0[:2]
+    else:
+        n = len(images)
+        h, w = images[0].shape[:2]
 
     cs = scale_for_megapixels(h, w, tuning.compositing_resol_mpx)
     if cs < 1.0:
+        if images is None:
+            images = [store.host_frame(i) for i in indices]
         log.log(stage, "compositing scale", scale=round(cs, 4))
         images = [np.asarray(resize_area(
             jnp.asarray(im.astype(np.float32)),
@@ -244,9 +258,10 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     # (a per-frame device dispatch for (2,3) geometry costs an ~80 ms relay
     # round-trip each; N frames x 2 loops was seconds of pure latency)
     tf = np.asarray(transforms, np.float32)
+    shapes = ([im.shape[:2] for im in images] if images is not None
+              else [(h, w)] * n)
     boxes = []
-    for t, im in zip(tf, images):
-        ih, iw = im.shape[:2]
+    for t, (ih, iw) in zip(tf, shapes):
         corners = np.asarray([[0.0, 0.0], [iw - 1.0, 0.0],
                               [iw - 1.0, ih - 1.0], [0.0, ih - 1.0]],
                              np.float32)
@@ -279,7 +294,7 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     sw = B.align_up(max(1, int(round(canvas_w * seam_scale))), 64)
     ssc = np.diag([seam_scale, seam_scale]).astype(np.float32)
 
-    if len({im.shape for im in images}) == 1 and n > 1:
+    if len(set(shapes)) == 1 and n > 1:
         ts_all = jnp.asarray(np.stack(
             [(ssc @ t_canvas[i]).astype(np.float32) for i in range(n)]))
         simgs, smasks = _seam_warp_batch(jnp.stack(dev_imgs), ts_all,
@@ -381,7 +396,7 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
             h33=(np.vstack([t_full, [0.0, 0.0, 1.0]]).astype(np.float32)
                  if persp else None))
 
-    uniform = len({im.shape for im in images}) == 1
+    uniform = len(set(shapes)) == 1
 
     def feed_many(cv, sel, oy, ox, ch_, cw_):
         """Whole-tile feed: every intersecting frame in as few fused
@@ -418,7 +433,9 @@ def stitch_strip(images: List[np.ndarray],
                  image_tags: Optional[Sequence[str]] = None,
                  matching_mask: Optional[np.ndarray] = None,
                  seed: int = 0, mesh=None, store=None,
-                 indices: Optional[List[int]] = None) -> np.ndarray:
+                 indices: Optional[List[int]] = None,
+                 detect_store=None,
+                 detect_coord_scale: float = 1.0) -> np.ndarray:
     """Robust strip stitch with the reference's fallback ladder.
 
     Reference: stitchRobustly (stitch_robust.cpp:337-376): joint stitch
@@ -428,11 +445,12 @@ def stitch_strip(images: List[np.ndarray],
     """
     log = get_logger()
     tuning = tuning or StitchTuning()
-    n = len(images)
+    n = len(images) if images is not None else len(indices)
     if n == 0:
         raise StripStitchError(f"{stage}: need at least one image")
     if n == 1:
-        return images[0].copy()
+        return (images[0].copy() if images is not None
+                else store.host_frame(indices[0]).copy())
     if image_tags:
         plan = ", ".join(f"{a}->{b}" for a, b in zip(image_tags,
                                                      image_tags[1:]))
@@ -442,8 +460,10 @@ def stitch_strip(images: List[np.ndarray],
         with log.timer(stage, "register"):
             kept, transforms, _ = estimate_strip_transforms(
                 images, tuning, range_width_override, matching_mask, stage,
-                seed, mesh, store=store, indices=indices)
-        imgs = [images[i] for i in kept]
+                seed, mesh,
+                store=(detect_store if detect_store is not None else store),
+                indices=indices, coord_scale=detect_coord_scale)
+        imgs = None if images is None else [images[i] for i in kept]
         if len(kept) < n:
             log.log(stage, "dropped weak frames",
                     dropped=[i for i in range(n) if i not in set(kept)])
@@ -459,6 +479,10 @@ def stitch_strip(images: List[np.ndarray],
         # (stitch_robust.cpp:366-375); use_anchor_fallback only gates the
         # anchor-batch attempt inside it (:297)
     log.log(stage, "falling back to sequential stitch")
+    if images is None:
+        # the sequential ladder works on host frames (mixed growing-
+        # mosaic sizes); materialize them from the store
+        images = [store.host_frame(i) for i in indices]
     return _stitch_sequential(images, tuning, stage, seed,
                               range_width_override)
 

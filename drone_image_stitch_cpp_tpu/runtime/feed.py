@@ -17,15 +17,27 @@ from typing import Iterable, Iterator, List, Optional, Sequence
 import numpy as np
 
 
-def _decode_host(paths: Sequence[str], n_threads: int) -> List[np.ndarray]:
+def _decode_host(paths: Sequence[str], n_threads: int,
+                 scale_denom: int = 1) -> List[np.ndarray]:
     from ..utils.native import decode_batch_native
-    out = decode_batch_native(list(paths), n_threads=n_threads)
+    out = decode_batch_native(list(paths), n_threads=n_threads,
+                              scale_denom=scale_denom)
     if out is not None:
         return out
     import cv2
+
+    def one(p):
+        img = cv2.imread(p, cv2.IMREAD_COLOR)
+        if img is not None and scale_denom != 1:
+            # fallback parity with libjpeg DCT scaling: full decode +
+            # area downscale (slower, same low-pass semantics)
+            img = cv2.resize(img, (max(1, img.shape[1] // scale_denom),
+                                   max(1, img.shape[0] // scale_denom)),
+                             interpolation=cv2.INTER_AREA)
+        return img
+
     with cf.ThreadPoolExecutor(max_workers=n_threads) as ex:
-        return list(ex.map(lambda p: cv2.imread(p, cv2.IMREAD_COLOR),
-                           paths))
+        return list(ex.map(one, paths))
 
 
 class FrameStoreError(RuntimeError):
@@ -68,7 +80,15 @@ class FrameStore:
 
     @classmethod
     def from_paths(cls, paths: Sequence[str],
-                   n_threads: Optional[int] = None) -> "FrameStore":
+                   n_threads: Optional[int] = None,
+                   scale_denom: int = 1,
+                   after: Optional["FrameStore"] = None) -> "FrameStore":
+        """``scale_denom``: decode at 1/denom resolution (libjpeg DCT
+        scaling — the detect stages work at <=1800 px, so a half-res
+        store quarters both decode time and relay transfer). ``after``:
+        another streaming store whose decode must COMPLETE before this
+        one starts (both threads share the single host core; the
+        half-res grouping store must win that race)."""
         import threading
 
         st = cls([])
@@ -79,6 +99,8 @@ class FrameStore:
         nt = n_threads or min(8, (os.cpu_count() or 1) * 2)
 
         def _run():
+            if after is not None:
+                after.wait_all()
             # NB deliberately NO eager device_put here: the relay
             # executes transfers and compute FIFO, so enqueueing chunks
             # ahead of the consumer makes every detect dispatch queue
@@ -89,7 +111,8 @@ class FrameStore:
             for ci in range(n_chunks):
                 c0 = ci * cls.CHUNK
                 chunk = st._paths[c0:c0 + cls.CHUNK]
-                for k, img in enumerate(_decode_host(chunk, nt)):
+                for k, img in enumerate(_decode_host(chunk, nt,
+                                                     scale_denom)):
                     if img is None or (st.images[0] is not None
                                        and c0 + k > 0
                                        and img.shape != st.images[0].shape):
@@ -121,6 +144,15 @@ class FrameStore:
             raise FrameStoreError(
                 f"unreadable/mismatched frames at indices {self.failed}")
         return self.images
+
+    def host_frame(self, i: int) -> np.ndarray:
+        """One decoded host frame (blocks on its chunk in streaming
+        mode); raises if that frame failed to decode."""
+        if self._events:
+            self._events[i // self.CHUNK].wait()
+        if self.images[i] is None:
+            raise FrameStoreError(f"unreadable frame at index {i}")
+        return self.images[i]
 
     def __len__(self) -> int:
         return len(self.images)

@@ -41,6 +41,10 @@ def _load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
+        if hasattr(lib, "tm_decode_jpeg_batch_scaled"):
+            lib.tm_decode_jpeg_batch_scaled.restype = ctypes.c_int
+            lib.tm_decode_jpeg_batch_scaled.argtypes = \
+                lib.tm_decode_jpeg_batch.argtypes + [ctypes.c_int]
         fptr = np.ctypeslib.ndpointer(dtype=np.float32, flags="C")
         uptr = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C")
         lib.tm_graphcut.restype = ctypes.c_double
@@ -94,12 +98,19 @@ def graphcut_native(cap_src: np.ndarray, cap_snk: np.ndarray,
     return labels
 
 
-def decode_batch_native(paths: List[str],
-                        n_threads: int = 4) -> Optional[List[np.ndarray]]:
+def decode_batch_native(paths: List[str], n_threads: int = 4,
+                        scale_denom: int = 1
+                        ) -> Optional[List[np.ndarray]]:
     """Thread-pool batch decode; None if the library is unavailable or any
-    file is not a JPEG (mixed batches fall back to the Python path)."""
+    file is not a JPEG (mixed batches fall back to the Python path).
+
+    ``scale_denom`` in {1, 2, 4, 8} decodes at 1/denom resolution via
+    libjpeg DCT-domain scaling (~2.5-3x faster at denom 2 and a proper
+    low-pass — the detect stages work at <=1800 px anyway)."""
     lib = _load()
     if lib is None:
+        return None
+    if scale_denom != 1 and not hasattr(lib, "tm_decode_jpeg_batch_scaled"):
         return None
     if not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
         return None
@@ -108,7 +119,11 @@ def decode_batch_native(paths: List[str],
     bufs = (ctypes.POINTER(ctypes.c_ubyte) * n)()
     ws = (ctypes.c_int * n)()
     hs = (ctypes.c_int * n)()
-    lib.tm_decode_jpeg_batch(c_paths, n, bufs, ws, hs, n_threads)
+    if scale_denom != 1:
+        lib.tm_decode_jpeg_batch_scaled(c_paths, n, bufs, ws, hs,
+                                        n_threads, scale_denom)
+    else:
+        lib.tm_decode_jpeg_batch(c_paths, n, bufs, ws, hs, n_threads)
     out: List[np.ndarray] = []
     try:
         for i in range(n):

@@ -32,7 +32,12 @@ static void tm_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-unsigned char* tm_decode_jpeg(const char* path, int* out_w, int* out_h) {
+// scale_denom in {1,2,4,8}: libjpeg DCT-domain scaling — a denom-2 decode
+// runs ~2.5-3x faster than full resolution and is a proper low-pass
+// (the grouping stage detects at <=1800 px, so half-res sources lose no
+// registration quality while quartering the host->device transfer).
+unsigned char* tm_decode_jpeg_scaled(const char* path, int* out_w,
+                                     int* out_h, int scale_denom) {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
 
@@ -64,6 +69,10 @@ unsigned char* tm_decode_jpeg(const char* path, int* out_w, int* out_h) {
 #else
   cinfo.out_color_space = JCS_RGB;
 #endif
+  if (scale_denom == 2 || scale_denom == 4 || scale_denom == 8) {
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = static_cast<unsigned int>(scale_denom);
+  }
   jpeg_start_decompress(&cinfo);
 
   const int w = static_cast<int>(cinfo.output_width);
@@ -104,6 +113,10 @@ unsigned char* tm_decode_jpeg(const char* path, int* out_w, int* out_h) {
   return buf;
 }
 
+unsigned char* tm_decode_jpeg(const char* path, int* out_w, int* out_h) {
+  return tm_decode_jpeg_scaled(path, out_w, out_h, 1);
+}
+
 void tm_free(unsigned char* p) { free(p); }
 
 struct BatchJob {
@@ -114,18 +127,21 @@ struct BatchJob {
   int n;
   int n_threads;
   int tid;
+  int scale_denom;
 };
 
 static void* batch_worker(void* arg) {
   BatchJob* job = static_cast<BatchJob*>(arg);
   for (int i = job->tid; i < job->n; i += job->n_threads) {
-    job->bufs[i] = tm_decode_jpeg(job->paths[i], &job->ws[i], &job->hs[i]);
+    job->bufs[i] = tm_decode_jpeg_scaled(job->paths[i], &job->ws[i],
+                                         &job->hs[i], job->scale_denom);
   }
   return nullptr;
 }
 
-int tm_decode_jpeg_batch(const char** paths, int n, unsigned char** bufs,
-                         int* ws, int* hs, int n_threads) {
+int tm_decode_jpeg_batch_scaled(const char** paths, int n,
+                                unsigned char** bufs, int* ws, int* hs,
+                                int n_threads, int scale_denom) {
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
   pthread_t threads[64];
@@ -133,7 +149,7 @@ int tm_decode_jpeg_batch(const char** paths, int n, unsigned char** bufs,
   bool spawned[64];
   if (n_threads > 64) n_threads = 64;
   for (int t = 0; t < n_threads; ++t) {
-    jobs[t] = BatchJob{paths, bufs, ws, hs, n, n_threads, t};
+    jobs[t] = BatchJob{paths, bufs, ws, hs, n, n_threads, t, scale_denom};
     spawned[t] =
         pthread_create(&threads[t], nullptr, batch_worker, &jobs[t]) == 0;
     if (!spawned[t]) batch_worker(&jobs[t]);  // degrade to inline execution
@@ -142,6 +158,11 @@ int tm_decode_jpeg_batch(const char** paths, int n, unsigned char** bufs,
     if (spawned[t]) pthread_join(threads[t], nullptr);
   }
   return 0;
+}
+
+int tm_decode_jpeg_batch(const char** paths, int n, unsigned char** bufs,
+                         int* ws, int* hs, int n_threads) {
+  return tm_decode_jpeg_batch_scaled(paths, n, bufs, ws, hs, n_threads, 1);
 }
 
 }  // extern "C"

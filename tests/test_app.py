@@ -191,3 +191,43 @@ def test_frame_store_streaming_decode(sortie_dir):
     assert len(imgs) == len(eager.images)
     for a, b in zip(imgs, eager.images):
         np.testing.assert_array_equal(a, b)
+
+
+def test_half_res_store_detect_geometry(tmp_path):
+    """Half-res (DCT-scaled) store + coord_scale=2 recovers the same
+    full-res geometry as the full store (the flagship detect path)."""
+    import cv2
+    from conftest import synthetic_ortho
+    from drone_image_stitch_cpp_tpu.ops.match import adaptive_ratio
+    from drone_image_stitch_cpp_tpu.pipeline.pairgraph import register_pairs
+    from drone_image_stitch_cpp_tpu.pipeline.registration import (
+        detect_features)
+    from drone_image_stitch_cpp_tpu.runtime.feed import FrameStore
+
+    big = synthetic_ortho(h=1200, w=4300)
+    # planted (dx, dy) = (256, 64) at full resolution
+    a = big[0:1024, 0:3968].astype(np.uint8)
+    b = big[64:1088, 256:4224].astype(np.uint8)
+    d = tmp_path / "half"
+    os.makedirs(d)
+    paths = []
+    for k, img in enumerate([a, b]):
+        p = str(d / f"F{k}.jpg")
+        cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 97])
+        paths.append(p)
+
+    def recover(store, coord_scale):
+        feats, scale = detect_features(None, 400, 0.2, store=store,
+                                       indices=[0, 1],
+                                       coord_scale=coord_scale)
+        graph = register_pairs(feats, [(0, 1)], float(adaptive_ratio(0.35)),
+                               thresh=4.0 / scale, kind="similarity")
+        assert bool(np.asarray(graph.ok)[0])
+        m = np.asarray(graph.model)[0]
+        return float(m[0, 2]), float(m[1, 2])
+
+    tx_f, ty_f = recover(FrameStore.from_paths(paths), 1.0)
+    tx_h, ty_h = recover(FrameStore.from_paths(paths, scale_denom=2), 2.0)
+    # both recover the planted full-res translation
+    assert abs(tx_f + 256.0) < 1.0 and abs(ty_f + 64.0) < 1.0, (tx_f, ty_f)
+    assert abs(tx_h + 256.0) < 1.0 and abs(ty_h + 64.0) < 1.0, (tx_h, ty_h)
