@@ -148,43 +148,24 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 with log.timer("Main", "scan"):
                     paths, ids = scan_with_ids(cfg.input_dir)
                 if len(paths) >= 2:
-                    # two streaming stores when frames are large enough: a
-                    # HALF-res store (libjpeg DCT scaling) feeds every
-                    # detect stage (grouping <=1800 px and registration at
-                    # ~0.45 MP both work far below half-res 4K) at 1/4 the
-                    # decode time and relay traffic; the FULL-res store
-                    # decodes behind it and is touched only by the compose
-                    # feeds, whose chunk transfers then overlap strip
-                    # compute instead of serializing in front of grouping.
-                    # Gate: half-res must still cover both detect budgets,
-                    # else detects would run BELOW their configured work
-                    # resolution (small-frame sorties use one full store).
-                    use_half = False
-                    try:
-                        from PIL import Image
-                        with Image.open(paths[0]) as im0:
-                            w0, h0 = im0.size
-                        use_half = ((h0 // 2) * (w0 // 2) * 1e-6
-                                    >= max(tuning.registration_resol_mpx,
-                                           0.0)
-                                    and max(h0, w0) // 2 >= 1800)
-                    except Exception:
-                        use_half = False
-                    if use_half:
-                        store_half = FrameStore.from_paths(paths,
-                                                           scale_denom=2)
-                        store = FrameStore.from_paths(paths,
-                                                      after=store_half)
-                        detect_coord_scale = 2.0
-                    else:
-                        store = FrameStore.from_paths(paths)
-                    sh = (store_half or store).shape0
+                    # ONE full-res streaming store. A dual-store variant
+                    # (half-res DCT-scaled decode feeding the detect
+                    # stages: FrameStore scale_denom + detect coord_scale,
+                    # both unit-tested) was measured end-to-end on the
+                    # flagship sortie and LOST: this relay executes
+                    # transfers and compute strictly serially, so the
+                    # half-res pass ADDS 1.25 GB of wire on top of the
+                    # 5 GB the compose feeds need anyway (1193.6 s vs
+                    # 981.6 s), and half-res registration detect cost
+                    # real accuracy (GT-RMSE 44.1 vs 38.6). On hardware
+                    # with an overlapping DMA path the dual-store layout
+                    # is the better one — see flagship_r3_run7.log.
+                    store = FrameStore.from_paths(paths)
+                    sh = store.shape0
                     if not (len(sh) == 3 and sh[2] == 3
-                            and (store_half or store).images[0].dtype
-                            == np.uint8):
+                            and store.images[0].dtype == np.uint8):
                         raise FrameStoreError("frame 0 is not BGR uint8")
-                    log.log("Main", "streaming ingest", n=len(paths),
-                            detect=("half-res" if use_half else "full"))
+                    log.log("Main", "streaming ingest", n=len(paths))
             except FrameStoreError as e:
                 log.log("Main", "streaming ingest unavailable",
                         error=str(e))
