@@ -28,6 +28,7 @@ from .runtime.checkpoint import (load_strip_checkpoint,
                                  save_strip_checkpoint)
 from .runtime.loader import load_with_ids, scan_with_ids
 from .runtime.logging import get_logger
+from .runtime.writer import BackgroundWriter, StreamedMosaicWriter
 
 
 @dataclass
@@ -201,6 +202,7 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
             log.log("Main", "mesh unavailable", error=str(e))
 
         ckpt_dir = os.path.join(cfg.output_dir, "strips")
+        writer = None
         strips_done: Optional[List[np.ndarray]] = None
         if cfg.resume:
             strips_done = load_strip_checkpoint(ckpt_dir)
@@ -246,6 +248,12 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 strip_tuning = tuning.replace(
                     sift_features=tuning.strip_sift_features)
                 strip_panos = []
+                # strip JPEGs + the resume checkpoint encode on a worker
+                # thread while the device stitches the NEXT strip (the
+                # reference encodes each strip serially before moving on,
+                # stitch_app.cpp:215-217 — ~110 s of idle device on the
+                # 200-frame sortie); errors resurface at join() below
+                writer = BackgroundWriter()
                 for gi, g in enumerate(groups):
                     imgs = (None if images is None
                             else [images[k] for k in g.indices])
@@ -258,13 +266,13 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                             indices=list(g.indices),
                             detect_store=store_half,
                             detect_coord_scale=detect_coord_scale)
-                    with log.timer(f"Strip{gi}", "crop+save"):
+                    with log.timer(f"Strip{gi}", "crop"):
                         pano = auto_crop_black_border(pano)
-                        strip_panos.append(pano)
-                        if cfg.save_strips:
-                            _write_image(os.path.join(
-                                ckpt_dir, f"strip_{gi:02d}.jpg"), pano)
-                save_strip_checkpoint(ckpt_dir, strip_panos)
+                    strip_panos.append(pano)
+                    if cfg.save_strips:
+                        writer.submit(_write_image, os.path.join(
+                            ckpt_dir, f"strip_{gi:02d}.jpg"), pano)
+                writer.submit(save_strip_checkpoint, ckpt_dir, strip_panos)
                 strips_done = strip_panos
             else:
                 # single-group path (stitch_app.cpp:246-260)
@@ -290,6 +298,7 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         if store_half is not None:
             store_half.clear()
 
+        sink = None
         if len(strips_done) == 1:
             panorama = strips_done[0]
         else:
@@ -298,11 +307,27 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 sift_features=tuning.global_sift_features,
                 use_range_matcher=False,
                 blend_bands=max(5, tuning.blend_bands))
+            # stream the mosaic's finished row bands straight into an
+            # incremental JPEG encode while later tiles blend (the final
+            # encode of a 380 MP ortho is ~60-100 s of trailing host work
+            # otherwise); falls back to crop+write below if unavailable
+            from .utils.native import jpeg_encoder_available
+            if jpeg_encoder_available():
+                os.makedirs(cfg.output_dir, exist_ok=True)
+                sink = StreamedMosaicWriter(cfg.output_path)
             with log.timer("Main", "global compose"):
                 panorama = stitch_inter_strips_custom(strips_done,
                                                       global_tuning,
-                                                      mesh=mesh)
+                                                      mesh=mesh,
+                                                      row_sink=sink)
 
+        if writer is not None:
+            with log.timer("Main", "strip-save drain"):
+                writer.join()
+            writer = None
+        if sink is not None and sink.done:
+            log.log("Main", "wrote", path=cfg.output_path, streamed=True)
+            return 0
         with log.timer("Main", "crop+write"):
             panorama = auto_crop_black_border(panorama)
             _write_image(cfg.output_path, panorama)

@@ -262,7 +262,7 @@ def mb_tile_grid(canvas_h: int, canvas_w: int, bands: int,
 def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                      frame_boxes, feed_tile, tile: int | None = None,
                      devices=None, on_frame_retired=None,
-                     feed_tile_many=None):
+                     feed_tile_many=None, on_rows=None):
     """Stream a multiband blend through canvas tiles (HBM-bounded).
 
     ``frame_boxes``: per-frame (x0, y0, x1, y1) canvas-space bounds (host
@@ -290,6 +290,12 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
     frame index, letting the caller fuse the whole tile's feeds into a
     single dispatch (per-feed dispatches cost ~200-300 ms of relay
     round-trip each).
+
+    ``on_rows(y0, y1, rows)``: called, in increasing-y order, once every
+    tile covering canvas rows [y0, y1) has materialized; ``rows`` is the
+    finished ``out[y0:y1]`` view (never written again). Callers stream
+    the mosaic out (e.g. incremental JPEG encode) while later tile rows
+    are still blending on device.
     """
     import contextlib
 
@@ -310,14 +316,33 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
             if not (fx1 <= ex0 or fx0 >= ex1 or fy1 <= ey0 or fy0 >= ey1):
                 last_tile[i] = t_idx
 
+    # row-band completion tracking for on_rows: tiles are generated
+    # row-major with a fixed column count per band
+    n_cols = max(1, len({(t[2], t[3]) for t in tiles}))
+    band_rows = sorted({(t[0], t[1]) for t in tiles})
+    band_left = [n_cols] * len(band_rows)
+    next_band = [0]  # boxed for closure mutation
+
+    def _band_done(t_idx):
+        if on_rows is None:
+            return
+        b = t_idx // n_cols
+        band_left[b] -= 1
+        while (next_band[0] < len(band_rows)
+               and band_left[next_band[0]] == 0):
+            y0, y1 = band_rows[next_band[0]]
+            on_rows(y0, y1, out[y0:y1])
+            next_band[0] += 1
+
     def materialize(entry):
         # fetch uint8, not float32, and only the (snapped) core window —
         # the host link is the compose bottleneck and the ext halo is
         # ~30% extra bytes (see _blend_u8_core). (oy, ox) is the fetched
         # window's canvas origin.
-        cy0, cy1, cx0, cx1, oy, ox, img = entry
+        t_idx, cy0, cy1, cx0, cx1, oy, ox, img = entry
         a = np.asarray(img)
         out[cy0:cy1, cx0:cx1] = a[cy0 - oy:cy1 - oy, cx0 - ox:cx1 - ox]
+        _band_done(t_idx)
 
     for t_idx, (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in \
             enumerate(tiles):
@@ -344,12 +369,14 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                 crop_w = min(align_up(cx1 - cx0, 256), ew)
                 crop_y = min(cy0 - ey0, eh - crop_h)
                 crop_x = min(cx0 - ex0, ew - crop_w)
-                pending.append((cy0, cy1, cx0, cx1, ey0 + crop_y,
+                pending.append((t_idx, cy0, cy1, cx0, cx1, ey0 + crop_y,
                                 ex0 + crop_x,
                                 _blend_u8_core(canvas_t, crop_y, crop_x,
                                                out_h=eh, out_w=ew,
                                                crop_h=crop_h,
                                                crop_w=crop_w)))
+            else:
+                _band_done(t_idx)  # empty tile: rows are final zeros
         if on_frame_retired is not None:
             # feeds are enqueued; JAX keeps donated/arg buffers alive until
             # execution, so the caller may drop its references now

@@ -247,6 +247,13 @@ def _align_strips_dev(dev_padded, shapes, tuning: StitchTuning,
 
 
 @jax.jit
+def _mask_union(masks):
+    """Union of the seam-scale content masks (ONE fetch for the streamed-
+    write crop box instead of one per strip)."""
+    return jnp.stack(masks).any(axis=0)
+
+
+@jax.jit
 def _pair_gain_stats(img_ref: jnp.ndarray, img_cur: jnp.ndarray,
                      mask_ref: jnp.ndarray, mask_cur: jnp.ndarray
                      ) -> jnp.ndarray:
@@ -311,11 +318,18 @@ def _gain_chain(seam_imgs: List[jnp.ndarray], seam_masks: List[jnp.ndarray],
 
 def stitch_inter_strips_custom(strips: List[np.ndarray],
                                tuning: Optional[StitchTuning] = None,
-                               seed: int = 0, mesh=None) -> np.ndarray:
+                               seed: int = 0, mesh=None,
+                               row_sink=None) -> np.ndarray:
     """Compose strip panoramas into one mosaic (reference :386-675).
 
     ``mesh``: optional device mesh — a tiled compose distributes its
     independent canvas tiles over it (ops/blend.mb_compose_tiled).
+    ``row_sink``: optional runtime.writer.StreamedMosaicWriter-protocol
+    object. On the tiled path the mosaic's finished row bands stream into
+    it while later tiles still blend (begin/on_rows/finish); the crop box
+    passed to begin() is the content bbox from the seam-scale content
+    masks, padded outward by the upscale quantum — it contains the
+    pixel-exact autocrop box with at most a few rows of black margin.
     """
     log = get_logger()
     t_start = time.perf_counter()
@@ -436,6 +450,23 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     t_seams = time.perf_counter()
     log.log("GlobalCustom", "seams done",
             seconds=round(t_seams - t_gain, 2))
+    # streamed-output crop box: content bbox at seam scale, upscaled with
+    # an outward margin of the scale quantum (+2 px guard). It CONTAINS
+    # the pixel autocrop box: any full-res content pixel lands in some
+    # seam-scale mask cell, so the upscaled bbox only over-covers.
+    crop_box = None
+    if row_sink is not None:
+        union = np.asarray(_mask_union(seam_masks))
+        r = union.any(axis=1)
+        c = union.any(axis=0)
+        if r.any():
+            margin = int(math.ceil(1.0 / max(seam_scale, 1e-6))) + 2
+            ry0, ry1 = int(np.argmax(r)), len(r) - int(np.argmax(r[::-1]))
+            cx0, cx1 = int(np.argmax(c)), len(c) - int(np.argmax(c[::-1]))
+            crop_box = (max(0, int(ry0 / seam_scale) - margin),
+                        min(canvas_h, int(ry1 / seam_scale) + margin),
+                        max(0, int(cx0 / seam_scale) - margin),
+                        min(canvas_w, int(cx1 / seam_scale) + margin))
     # free the 8 MP seam-scale images/masks before the blend allocates
     # tile pyramids (HBM headroom on a single chip)
     del comp_imgs, seam_imgs, seam_masks
@@ -502,11 +533,29 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
             seam_out[i] = None
             _drop_frame(i)
 
+        on_rows = None
+        if row_sink is not None and crop_box is not None:
+            try:
+                row_sink.begin(canvas_h, canvas_w, crop_box)
+                on_rows = row_sink.on_rows
+                log.log("GlobalCustom", "streaming mosaic write",
+                        crop=crop_box)
+            except Exception as err:
+                log.log("GlobalCustom", "streamed write unavailable",
+                        error=str(err))
         result = B.mb_compose_tiled(
             canvas_h, canvas_w, bands, frame_boxes, feed_roi,
             devices=(list(mesh.devices.flat) if mesh is not None
                      else None), on_frame_retired=retire,
-            feed_tile_many=feed_many)
+            feed_tile_many=feed_many, on_rows=on_rows)
+        if on_rows is not None:
+            try:
+                hw = row_sink.finish()
+                log.log("GlobalCustom", "streamed mosaic written",
+                        h=hw[0], w=hw[1])
+            except Exception as err:
+                log.log("GlobalCustom", "streamed write failed",
+                        error=str(err))
     else:
         canvas = B.mb_prepare(canvas_h, canvas_w, bands)
         for i in range(n):

@@ -19,27 +19,35 @@ _MANIFEST = "checkpoint.json"
 
 def save_strip_checkpoint(ckpt_dir: str, strips: List[np.ndarray]) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
-    import cv2
     names = []
     for i, s in enumerate(strips):
-        name = f"strip_{i:02d}.png"  # lossless for exact resume
-        cv2.imwrite(os.path.join(ckpt_dir, name), s)
+        # lossless for exact resume; raw .npy, because PNG deflate of a
+        # 56 MP strip costs 10-30 s of host CPU (the flagship sortie's
+        # worst crop+save stall) while a raw write runs at disk speed
+        name = f"strip_{i:02d}.npy"
+        np.save(os.path.join(ckpt_dir, name), np.ascontiguousarray(s))
         names.append(name)
     with open(os.path.join(ckpt_dir, _MANIFEST), "w") as f:
-        json.dump({"strips": names, "version": 1}, f)
+        json.dump({"strips": names, "version": 2}, f)
 
 
 def load_strip_checkpoint(ckpt_dir: str) -> Optional[List[np.ndarray]]:
     path = os.path.join(ckpt_dir, _MANIFEST)
     if not os.path.exists(path):
         return None
-    import cv2
     with open(path) as f:
         manifest = json.load(f)
     strips = []
     for name in manifest.get("strips", []):
-        img = cv2.imread(os.path.join(ckpt_dir, name), cv2.IMREAD_COLOR)
-        if img is None:
+        fpath = os.path.join(ckpt_dir, name)
+        if not os.path.exists(fpath):
             return None  # incomplete checkpoint -> recompute
-        strips.append(img)
+        if name.endswith(".npy"):
+            strips.append(np.load(fpath))
+        else:  # version-1 checkpoints (PNG)
+            import cv2
+            img = cv2.imread(fpath, cv2.IMREAD_COLOR)
+            if img is None:
+                return None
+            strips.append(img)
     return strips if strips else None

@@ -50,6 +50,17 @@ def _load():
         lib.tm_graphcut.restype = ctypes.c_double
         lib.tm_graphcut.argtypes = [ctypes.c_int, ctypes.c_int,
                                     fptr, fptr, fptr, fptr, uptr]
+        if hasattr(lib, "tm_jpeg_enc_start"):
+            lib.tm_jpeg_enc_start.restype = ctypes.c_void_p
+            lib.tm_jpeg_enc_start.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            lib.tm_jpeg_enc_write_bgr.restype = ctypes.c_int
+            lib.tm_jpeg_enc_write_bgr.argtypes = [
+                ctypes.c_void_p, uptr, ctypes.c_int]
+            lib.tm_jpeg_enc_finish.restype = ctypes.c_int
+            lib.tm_jpeg_enc_finish.argtypes = [ctypes.c_void_p]
+            lib.tm_jpeg_enc_abort.restype = None
+            lib.tm_jpeg_enc_abort.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -96,6 +107,59 @@ def graphcut_native(cap_src: np.ndarray, cap_snk: np.ndarray,
                     np.ascontiguousarray(cap_h, np.float32),
                     np.ascontiguousarray(cap_v, np.float32), labels)
     return labels
+
+
+class NativeJpegEncoder:
+    """Scanline-incremental JPEG encoder (native/encode.cpp).
+
+    Accepts BGR uint8 row bands top-to-bottom; the encode overlaps
+    whatever produces the rows (the tiled blender's remaining device
+    work). Output is byte-identical to cv2.imwrite at the same quality
+    (both are libjpeg at these settings). Raises RuntimeError mid-stream
+    on encoder failure.
+    """
+
+    def __init__(self, path: str, w: int, h: int, quality: int = 95):
+        lib = _load()
+        if lib is None or not hasattr(lib, "tm_jpeg_enc_start"):
+            raise RuntimeError("native encoder unavailable")
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.tm_jpeg_enc_start(
+            path.encode(), w, h, quality))
+        if not self._h:
+            raise RuntimeError(f"tm_jpeg_enc_start failed for {path}")
+        self._w = w
+
+    def write(self, rows: np.ndarray) -> None:
+        """``rows``: (n, w, 3) uint8 BGR, contiguous."""
+        if self._h is None:
+            raise RuntimeError("encoder already finished")
+        rows = np.ascontiguousarray(rows, np.uint8)
+        assert rows.ndim == 3 and rows.shape[1] == self._w \
+            and rows.shape[2] == 3, rows.shape
+        if self._lib.tm_jpeg_enc_write_bgr(self._h, rows,
+                                           rows.shape[0]) != 0:
+            self._lib.tm_jpeg_enc_abort(self._h)
+            self._h = None
+            raise RuntimeError("tm_jpeg_enc_write_bgr failed")
+
+    def finish(self) -> None:
+        if self._h is None:
+            raise RuntimeError("encoder already finished")
+        rc = self._lib.tm_jpeg_enc_finish(self._h)
+        self._h = None
+        if rc != 0:
+            raise RuntimeError("tm_jpeg_enc_finish failed")
+
+    def abort(self) -> None:
+        if self._h is not None:
+            self._lib.tm_jpeg_enc_abort(self._h)
+            self._h = None
+
+
+def jpeg_encoder_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "tm_jpeg_enc_start")
 
 
 def decode_batch_native(paths: List[str], n_threads: int = 4,
