@@ -141,26 +141,19 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         from .runtime.feed import FrameStore, FrameStoreError
 
         calib = tuning.calibration.find(cfg.image_type)
-        store = store_half = images = ids = None
-        detect_coord_scale = 1.0
+        store = images = ids = None
         if calib is None or not calib.is_ready():
             log.log("Main", "calibration not ready; skipping undistort")
             try:
                 with log.timer("Main", "scan"):
                     paths, ids = scan_with_ids(cfg.input_dir)
                 if len(paths) >= 2:
-                    # ONE full-res streaming store. A dual-store variant
-                    # (half-res DCT-scaled decode feeding the detect
-                    # stages: FrameStore scale_denom + detect coord_scale,
-                    # both unit-tested) was measured end-to-end on the
-                    # flagship sortie and LOST: this relay executes
-                    # transfers and compute strictly serially, so the
-                    # half-res pass ADDS 1.25 GB of wire on top of the
-                    # 5 GB the compose feeds need anyway (1193.6 s vs
-                    # 981.6 s), and half-res registration detect cost
-                    # real accuracy (GT-RMSE 44.1 vs 38.6). On hardware
-                    # with an overlapping DMA path the dual-store layout
-                    # is the better one — see flagship_r3_run7.log.
+                    # ONE full-res streaming store. (A dual-store variant —
+                    # half-res DCT-scaled decode feeding the detect stages,
+                    # still available as FrameStore scale_denom + detect
+                    # coord_scale, both unit-tested — was measured on the
+                    # flagship sortie and LOST on this serial relay:
+                    # flagship_r3_run7.log.)
                     store = FrameStore.from_paths(paths)
                     sh = store.shape0
                     if not (len(sh) == 3 and sh[2] == 3
@@ -170,8 +163,7 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
             except FrameStoreError as e:
                 log.log("Main", "streaming ingest unavailable",
                         error=str(e))
-                store = store_half = images = ids = None
-                detect_coord_scale = 1.0
+                store = images = ids = None
 
         if store is None:
             with log.timer("Main", "load+decode"):
@@ -189,8 +181,9 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 store = FrameStore(images)
 
         # data-parallel mesh over all visible devices: the registration
-        # pair axis shards across it (pairgraph.register_pairs); a single
-        # device runs unsharded
+        # pair axis shards across it (pairgraph.register_pairs), the
+        # independent per-strip stitches round-robin over it, and tiled
+        # composes distribute tiles; a single device runs unsharded
         mesh = None
         try:
             import jax
@@ -200,6 +193,20 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 log.log("Main", "mesh", devices=int(mesh.devices.size))
         except Exception as e:
             log.log("Main", "mesh unavailable", error=str(e))
+
+        # mid-run accelerator-failure retry ladder (the reference's
+        # OpenCL-exception -> CPU re-run, stitch_robust.cpp:259-270):
+        # any stage that dies with a device/transport fault degrades the
+        # process to the host CPU backend and re-runs ONCE. Device-resident
+        # state on the dead accelerator (FrameStore chunks, the mesh) is
+        # dropped first; host copies rebuild it on the retry.
+        from .runtime.device import run_stage_with_retry
+
+        def _on_degrade():
+            nonlocal mesh
+            mesh = None
+            if store is not None:
+                store.clear()
 
         ckpt_dir = os.path.join(cfg.output_dir, "strips")
         writer = None
@@ -213,11 +220,11 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         if strips_done is None:
             try:
                 with log.timer("Main", "grouping"):
-                    groups = group_boustrophedon(
-                        images, ids, tuning,
-                        store=(store_half if store_half is not None
-                               else store),
-                        coord_scale=detect_coord_scale)
+                    groups = run_stage_with_retry(
+                        "VisualGroup",
+                        lambda: group_boustrophedon(images, ids, tuning,
+                                                    store=store),
+                        on_degrade=_on_degrade)
             except FrameStoreError as e:
                 # unreadable/mismatched files: recover with the eager
                 # loader (skip-unreadable, image_loader.cpp:52-59)
@@ -232,8 +239,7 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 ids = loaded.ids
                 images = _undistort_if_ready(loaded.images, tuning,
                                              cfg.image_type)
-                store = store_half = None
-                detect_coord_scale = 1.0
+                store = None
                 if (len({im.shape for im in images}) == 1
                         and images[0].ndim == 3 and images[0].shape[2] == 3
                         and images[0].dtype == np.uint8):
@@ -259,13 +265,14 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                             else [images[k] for k in g.indices])
                     tags = make_strip_tags(gi, g.ids)
                     with log.timer(f"Strip{gi}", "stitch"):
-                        pano = stitch_strip(
-                            imgs, strip_tuning, stage=f"Strip{gi}",
-                            range_width_override=tuning.range_width,
-                            image_tags=tags, mesh=mesh, store=store,
-                            indices=list(g.indices),
-                            detect_store=store_half,
-                            detect_coord_scale=detect_coord_scale)
+                        pano = run_stage_with_retry(
+                            f"Strip{gi}",
+                            lambda: stitch_strip(
+                                imgs, strip_tuning, stage=f"Strip{gi}",
+                                range_width_override=tuning.range_width,
+                                image_tags=tags, mesh=mesh, store=store,
+                                indices=list(g.indices)),
+                            on_degrade=_on_degrade)
                     with log.timer(f"Strip{gi}", "crop"):
                         pano = auto_crop_black_border(pano)
                     strip_panos.append(pano)
@@ -280,14 +287,15 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                         else [images[k] for g in groups for k in g.indices])
                 flat_idx = [k for g in groups for k in g.indices]
                 with log.timer("Main", "single-group stitch"):
-                    pano = stitch_strip(
-                        flat, tuning.replace(
-                            sift_features=tuning.strip_sift_features),
-                        stage="Single",
-                        range_width_override=tuning.range_width, mesh=mesh,
-                        store=store, indices=flat_idx,
-                        detect_store=store_half,
-                        detect_coord_scale=detect_coord_scale)
+                    pano = run_stage_with_retry(
+                        "Single",
+                        lambda: stitch_strip(
+                            flat, tuning.replace(
+                                sift_features=tuning.strip_sift_features),
+                            stage="Single",
+                            range_width_override=tuning.range_width,
+                            mesh=mesh, store=store, indices=flat_idx),
+                        on_degrade=_on_degrade)
                 pano = auto_crop_black_border(pano)
                 _write_image(cfg.output_path, pano)
                 log.log("Main", "wrote", path=cfg.output_path)
@@ -295,8 +303,6 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
 
         if store is not None:
             store.clear()   # frames are done; free HBM for the global canvas
-        if store_half is not None:
-            store_half.clear()
 
         sink = None
         if len(strips_done) == 1:
@@ -312,14 +318,24 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
             # encode of a 380 MP ortho is ~60-100 s of trailing host work
             # otherwise); falls back to crop+write below if unavailable
             from .utils.native import jpeg_encoder_available
-            if jpeg_encoder_available():
-                os.makedirs(cfg.output_dir, exist_ok=True)
-                sink = StreamedMosaicWriter(cfg.output_path)
+
+            def _compose():
+                # a retry needs a FRESH sink: the previous attempt may
+                # have partially streamed into the output file
+                nonlocal sink
+                if sink is not None:
+                    sink.abort()
+                    sink = None
+                if jpeg_encoder_available():
+                    os.makedirs(cfg.output_dir, exist_ok=True)
+                    sink = StreamedMosaicWriter(cfg.output_path)
+                return stitch_inter_strips_custom(strips_done,
+                                                  global_tuning,
+                                                  mesh=mesh, row_sink=sink)
+
             with log.timer("Main", "global compose"):
-                panorama = stitch_inter_strips_custom(strips_done,
-                                                      global_tuning,
-                                                      mesh=mesh,
-                                                      row_sink=sink)
+                panorama = run_stage_with_retry("GlobalCustom", _compose,
+                                                on_degrade=_on_degrade)
 
         if writer is not None:
             with log.timer("Main", "strip-save drain"):

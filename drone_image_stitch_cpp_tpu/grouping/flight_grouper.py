@@ -92,8 +92,8 @@ class VisualStripGroup:
 
 def estimate_relations(images: List[np.ndarray], tuning: StitchTuning,
                        seed: int = 0, store=None,
-                       indices: List[int] | None = None,
-                       coord_scale: float = 1.0) -> List[VisualRelation]:
+                       indices: List[int] | None = None
+                       ) -> List[VisualRelation]:
     """Batched short-range motion graph (gaps 1..3) on device."""
     if store is not None:
         # streaming store: frames may still be decoding — shape comes
@@ -111,8 +111,7 @@ def estimate_relations(images: List[np.ndarray], tuning: StitchTuning,
     log = get_logger()
     with log.timer("VisualGroup", "detect"):
         feats, scale = detect_features(images, n_feats, mpx, store=store,
-                                       indices=indices,
-                                       coord_scale=coord_scale)
+                                       indices=indices)
         jax.device_get(feats.valid[-1, 0])  # attribute async work honestly
     pairs = gap_pairs(n, min(_MAX_NEIGHBOR_GAP, n - 1))
     ratio = float(adaptive_ratio(tuning.match_conf))
@@ -263,8 +262,7 @@ def _solve_best_segmentation(score: np.ndarray, n: int
 
 def group_boustrophedon(images: List[np.ndarray], ids: List[str],
                         tuning: StitchTuning,
-                        seed: int = 0, store=None,
-                        coord_scale: float = 1.0
+                        seed: int = 0, store=None
                         ) -> List[VisualStripGroup]:
     """Full grouping pipeline (reference :472-558).
 
@@ -282,8 +280,7 @@ def group_boustrophedon(images: List[np.ndarray], ids: List[str],
     for _round in range(4):  # iterative duplicate removal (ref. recursion)
         imgs = None if images is None else [images[k] for k in active]
         rels = estimate_relations(imgs, tuning, seed,
-                                  store=store, indices=active,
-                                  coord_scale=coord_scale)
+                                  store=store, indices=active)
         for r in rels:
             log.log("VisualGroup", "edge", i=active[r.i], j=active[r.j],
                     ok=r.ok, tx=round(r.tx, 1), ty=round(r.ty, 1),
@@ -305,8 +302,7 @@ def group_boustrophedon(images: List[np.ndarray], ids: List[str],
     else:
         imgs = None if images is None else [images[k] for k in active]
         rels = estimate_relations(imgs, tuning, seed,
-                                  store=store, indices=active,
-                                  coord_scale=coord_scale)
+                                  store=store, indices=active)
         stats = summarize_motion(rels)
 
     m = len(active)

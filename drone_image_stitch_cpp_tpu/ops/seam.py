@@ -129,7 +129,7 @@ def graphcut_pairwise_seam(img_a, img_b, mask_a, mask_b):
     """Min-cut seam on the overlap (GraphCutSeamFinder COST_COLOR_GRAD
     analog; reference: stitch_global.cpp:616-619).
 
-    Host-side numpy + the native BK max-flow (native/graphcut.cpp).
+    Host-side numpy + the native Dinic max-flow (native/graphcut.cpp).
     Returns (new_mask_a, new_mask_b) as numpy bool, or None when the native
     library is unavailable or there is no overlap — callers fall back to
     the DP seam, mirroring the reference's GraphCut -> DpSeamFinder ladder.

@@ -20,8 +20,9 @@ Capability parity: stitchInterStripsCustom (reference: stitch_global.cpp:
       the overlap is too small, geometric-mean normalization, apply
       skipping gains ~1 (:497-573);
   (g) canvas-size-adaptive exposure compensation (:307-326);
-  (h) seam finding at <=8 MP (:583-630) — DP seam (the reference's own
-      fallback) with a graph-cut-style cost;
+  (h) seam finding at <=8 MP (:583-630) — graph-cut min-cut first (native
+      Dinic solver, COST_COLOR_GRAD analog) with the DP seam as fallback,
+      the reference's own ladder (:616-627);
   (i) blend bands max(max(5, cfg), ceil(log2(maxdim))-1) capped 12, and
       multiband blending with soft (sigma=10) feathered seam masks
       (:632-666);

@@ -89,8 +89,7 @@ def estimate_strip_transforms(images: List[np.ndarray],
                               matching_mask: Optional[np.ndarray] = None,
                               stage: str = "Strip", seed: int = 0,
                               mesh=None, store=None,
-                              indices: Optional[List[int]] = None,
-                              coord_scale: float = 1.0):
+                              indices: Optional[List[int]] = None):
     """Registration: features -> banded pair graph -> component -> BA.
 
     Returns (kept_indices, transforms (n_kept, 2, 3) frame->frame0, graph).
@@ -102,8 +101,7 @@ def estimate_strip_transforms(images: List[np.ndarray],
     rw = range_width if range_width is not None else tuning.range_width
     feats, scale = detect_features(images, tuning.sift_features,
                                    tuning.registration_resol_mpx,
-                                   store=store, indices=indices,
-                                   coord_scale=coord_scale)
+                                   store=store, indices=indices)
     if matching_mask is not None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
                  if matching_mask[i, j] or matching_mask[j, i]]
@@ -433,9 +431,7 @@ def stitch_strip(images: List[np.ndarray],
                  image_tags: Optional[Sequence[str]] = None,
                  matching_mask: Optional[np.ndarray] = None,
                  seed: int = 0, mesh=None, store=None,
-                 indices: Optional[List[int]] = None,
-                 detect_store=None,
-                 detect_coord_scale: float = 1.0) -> np.ndarray:
+                 indices: Optional[List[int]] = None) -> np.ndarray:
     """Robust strip stitch with the reference's fallback ladder.
 
     Reference: stitchRobustly (stitch_robust.cpp:337-376): joint stitch
@@ -460,9 +456,7 @@ def stitch_strip(images: List[np.ndarray],
         with log.timer(stage, "register"):
             kept, transforms, _ = estimate_strip_transforms(
                 images, tuning, range_width_override, matching_mask, stage,
-                seed, mesh,
-                store=(detect_store if detect_store is not None else store),
-                indices=indices, coord_scale=detect_coord_scale)
+                seed, mesh, store=store, indices=indices)
         imgs = None if images is None else [images[i] for i in kept]
         if len(kept) < n:
             log.log(stage, "dropped weak frames",

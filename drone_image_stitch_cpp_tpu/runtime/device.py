@@ -80,6 +80,87 @@ def raise_map_limit(target: int = 262144) -> None:
               # in tests and the app's bounded program count cover it
 
 
+# Device/transport failure signatures for the mid-run retry ladder — the
+# analog of the reference's OpenCL exception sniffing (looksLikeOpenClFailure,
+# stitch_robust.cpp:45-51: it matches "OpenCL"/"ocl4dnn"/"AGX" substrings in
+# the exception text, then disables OpenCL and re-runs on CPU :259-270).
+# Here the accelerator is a (possibly remote) TPU: we match XLA runtime /
+# transport error shapes and degrade the process to the host CPU backend.
+_DEVICE_FAILURE_SIGNATURES = (
+    "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED", "DATA_LOSS",
+    "RESOURCE_EXHAUSTED", "INTERNAL:", "failed to connect", "connection",
+    "socket", "transport", "relay", "device is in an invalid state",
+    "tpu driver", "halted", "libtpu",
+)
+
+
+def looks_like_device_failure(err: BaseException) -> bool:
+    """True when an exception from a jitted dispatch looks like an
+    accelerator/transport fault (vs a programming error): XlaRuntimeError
+    by type name, or a known transport signature in the message."""
+    tname = type(err).__name__
+    if tname in ("XlaRuntimeError", "JaxRuntimeError"):
+        return True
+    msg = str(err)
+    return any(sig.lower() in msg.lower()
+               for sig in _DEVICE_FAILURE_SIGNATURES)
+
+
+_degraded = False
+
+
+def degrade_to_cpu() -> bool:
+    """Mid-run accelerator -> host-CPU degradation (one-shot).
+
+    Re-points JAX's default device at the host CPU backend (computations
+    whose inputs are uncommitted numpy follow it) and drops every cached
+    executable and live trace bound to the failed device. Returns False
+    when the process already degraded once (a second fault is a real
+    error) or no CPU backend exists. When the process was already running
+    on CPU, the single retry still happens — that covers transient faults,
+    which is all a CPU re-run can fix.
+    """
+    global _degraded
+    import jax
+
+    log = get_logger()
+    if _degraded:
+        return False
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception as e:
+        log.log("Device", "no CPU backend for degradation", error=str(e))
+        return False
+    _degraded = True
+    jax.config.update("jax_default_device", cpu)
+    jax.clear_caches()  # executables/consts pinned to the dead device
+    log.log("Device", "DEGRADED: accelerator fault; retrying stages on "
+                      "host CPU backend")
+    return True
+
+
+def run_stage_with_retry(stage: str, fn, on_degrade=None):
+    """Run one pipeline stage; on an accelerator fault, degrade to CPU and
+    re-run it once (the reference's OpenCL-failure retry, re-expressed:
+    stitch_robust.cpp:259-270). ``on_degrade`` lets the caller drop
+    device-resident state (e.g. FrameStore.clear()) before the retry —
+    stale buffers on a dead device would just re-raise."""
+    log = get_logger()
+    try:
+        return fn()
+    except Exception as err:
+        if not looks_like_device_failure(err):
+            raise
+        log.log(stage, "accelerator failure detected",
+                error=f"{type(err).__name__}: {err}")
+        if not degrade_to_cpu():
+            raise
+        if on_degrade is not None:
+            on_degrade()
+        log.log(stage, "retrying stage on CPU backend")
+        return fn()
+
+
 def describe_devices() -> List[str]:
     import jax
     try:

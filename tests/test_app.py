@@ -56,6 +56,60 @@ def test_full_application_run(sortie_dir, tmp_path):
     assert run_stitch_application(cfg2) == 0
 
 
+def test_device_failure_midrun_retry(sortie_dir, tmp_path, monkeypatch):
+    """Mid-run accelerator-fault retry ladder (the reference's OpenCL
+    exception -> CPU re-run, stitch_robust.cpp:259-270): a device/transport
+    fault injected into the FIRST grouping detect dispatch must degrade the
+    process to the host CPU backend, re-run the stage, and still produce a
+    complete mosaic — with the degradation visible in the log."""
+    import jax
+
+    from drone_image_stitch_cpp_tpu.grouping import flight_grouper
+    from drone_image_stitch_cpp_tpu.runtime import device as rt_device
+    from drone_image_stitch_cpp_tpu.runtime.logging import get_logger
+
+    # the degradation latch is process-global one-shot; reset around the test
+    monkeypatch.setattr(rt_device, "_degraded", False)
+
+    real_detect = flight_grouper.detect_features
+    calls = {"n": 0}
+    fake_xla_error = type("XlaRuntimeError", (RuntimeError,), {})
+
+    def failing_detect(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise fake_xla_error(
+                "UNAVAILABLE: TPU relay transport: connection reset")
+        return real_detect(*args, **kwargs)
+
+    monkeypatch.setattr(flight_grouper, "detect_features", failing_detect)
+
+    out = str(tmp_path / "out")
+    cfg = RunConfig(image_folder=sortie_dir, image_type="visible",
+                    group="run", output_root=out,
+                    tuning_overrides=dict(
+                        sift_features=512, strip_sift_features=512,
+                        global_sift_features=768,
+                        registration_resol_mpx=-1.0,
+                        seam_estimation_resol_mpx=-1.0, blend_bands=3))
+    try:
+        rc = run_stitch_application(cfg)
+    finally:
+        rt_device._degraded = False
+        jax.config.update("jax_default_device", None)
+    assert rc == 0
+    assert calls["n"] >= 2  # the stage really re-ran after the fault
+    pano_path = os.path.join(out, "visible", "run",
+                             "visible_run_uav_panorama.jpg")
+    assert os.path.exists(pano_path)
+    import cv2
+    pano = cv2.imread(pano_path)
+    assert pano.shape[0] > 240 and pano.shape[1] > 290, pano.shape
+    msgs = [r["msg"] for r in get_logger()._records]
+    assert any("DEGRADED" in m for m in msgs)
+    assert any("retrying stage on CPU backend" in m for m in msgs)
+
+
 def test_application_missing_folder(tmp_path):
     cfg = RunConfig(image_folder=str(tmp_path / "none"),
                     image_type="visible", group="g",
