@@ -125,11 +125,87 @@ def pairwise_seam(img_a: jnp.ndarray, img_b: jnp.ndarray,
     return new_a, new_b
 
 
+def _gc_problem(a, b, ma, mb):
+    """Build (cap_src, cap_snk, cap_h, cap_v) for one min-cut seam problem
+    (COST_COLOR_GRAD analog), or None when no exclusive region anchors a
+    terminal (fully nested masks — callers fall back to the DP seam)."""
+    import numpy as np
+
+    diff = np.sqrt(((a - b) ** 2).sum(-1) + 1e-6)
+    gray_a = a.mean(-1)
+    gray_b = b.mean(-1)
+
+    def grad(g):
+        gx = np.zeros_like(g)
+        gy = np.zeros_like(g)
+        gx[:, 1:-1] = 0.5 * np.abs(g[:, 2:] - g[:, :-2])
+        gy[1:-1, :] = 0.5 * np.abs(g[2:, :] - g[:-2, :])
+        return gx + gy
+
+    gsum = grad(gray_a) + grad(gray_b)
+
+    big = np.float32(1e8)
+    cap_src = np.where(ma & ~mb, big, 0.0).astype(np.float32)
+    cap_snk = np.where(mb & ~ma, big, 0.0).astype(np.float32)
+    if cap_src.max() == 0.0 or cap_snk.max() == 0.0:
+        return None
+    # COST_COLOR_GRAD: color difference damped by local gradient so the
+    # seam prefers running along real edges
+    cost = (diff / (1.0 + 0.5 * gsum) + 1e-3).astype(np.float32)
+    inb = (ma & mb).astype(np.float32)
+    cap_h = ((cost[:, :-1] + cost[:, 1:]) * 0.5
+             * np.maximum(inb[:, :-1], inb[:, 1:])).astype(np.float32)
+    cap_v = ((cost[:-1, :] + cost[1:, :]) * 0.5
+             * np.maximum(inb[:-1, :], inb[1:, :])).astype(np.float32)
+    # outside-the-union pixels carry no edges
+    union = (ma | mb).astype(np.float32)
+    cap_h *= np.minimum(union[:, :-1], union[:, 1:])
+    cap_v *= np.minimum(union[:-1, :], union[1:, :])
+    return cap_src, cap_snk, cap_h, cap_v
+
+
+def _seam_band(lab, band):
+    """Bool mask of pixels within `band` px (chebyshev) of a label edge."""
+    import numpy as np
+    import cv2
+
+    bm = np.zeros(lab.shape, np.uint8)
+    dh = lab[:, :-1] != lab[:, 1:]
+    bm[:, :-1] |= dh
+    bm[:, 1:] |= dh
+    dv = lab[:-1, :] != lab[1:, :]
+    bm[:-1, :] |= dv
+    bm[1:, :] |= dv
+    k = 2 * band + 1
+    return cv2.dilate(bm, np.ones((k, k), np.uint8)).astype(bool)
+
+
+def _cut_touches(lab, pinned):
+    """True when any label discontinuity has a pinned endpoint."""
+    dh = lab[:, :-1] != lab[:, 1:]
+    if (dh & (pinned[:, :-1] | pinned[:, 1:])).any():
+        return True
+    dv = lab[:-1, :] != lab[1:, :]
+    return bool((dv & (pinned[:-1, :] | pinned[1:, :])).any())
+
+
 def graphcut_pairwise_seam(img_a, img_b, mask_a, mask_b):
     """Min-cut seam on the overlap (GraphCutSeamFinder COST_COLOR_GRAD
     analog; reference: stitch_global.cpp:616-619).
 
-    Host-side numpy + the native Dinic max-flow (native/graphcut.cpp).
+    Host-side numpy + the native Boykov-Kolmogorov max-flow
+    (native/graphcut.cpp). The cut is solved AT FULL SEAM RESOLUTION, like
+    the reference (which min-cuts the whole <=8 MP seam canvas,
+    stitch_global.cpp:585-619), via hierarchical banded refinement: a
+    coarse solve picks the seam corridor, then an exact full-resolution
+    re-solve runs with every pixel farther than the band from the coarse
+    seam pinned to its coarse side. Pinning densifies the terminals, which
+    is what makes BK fast here (sparse-terminal corridors make its search
+    trees deep and adoption superlinear); on validation problems the banded
+    cut is bit-identical to the direct full-res cut, and a band-touch check
+    widens + re-solves once if the refined seam presses against the band
+    wall.
+
     Returns (new_mask_a, new_mask_b) as numpy bool, or None when the native
     library is unavailable or there is no overlap — callers fall back to
     the DP seam, mirroring the reference's GraphCut -> DpSeamFinder ladder.
@@ -153,72 +229,72 @@ def graphcut_pairwise_seam(img_a, img_b, mask_a, mask_b):
     a_, b_ = a[y0:y1, x0:x1], b[y0:y1, x0:x1]
     ma_, mb_ = ma[y0:y1, x0:x1], mb[y0:y1, x0:x1]
 
-    # bound the solver: the augmenting-path max-flow is superlinear in
-    # nodes, so solve the cut at <=GC_MAX_NODES and upsample the labels
-    # (the reference similarly caps its seam canvas, stitch_global.cpp:585)
-    GC_MAX_NODES = 100_000
+    # Solve the cut at the FULL seam resolution (like the reference's
+    # GraphCutSeamFinder on the <=8 MP canvas). Above GC_COARSE_NODES the
+    # cut is hierarchical: coarse solve -> pin far-from-seam pixels ->
+    # exact full-res re-solve inside the band (see docstring).
+    GC_COARSE_NODES = 100_000
     fh, fw = a_.shape[:2]
-    sc = min(1.0, (GC_MAX_NODES / float(fh * fw)) ** 0.5)
-    if sc < 1.0:
+    full_ma, full_mb = ma_, mb_
+    both_full = full_ma & full_mb
+    if not both_full.any():
+        return None
+    if fh * fw <= GC_COARSE_NODES:
+        prob = _gc_problem(a_, b_, ma_, mb_)
+        if prob is None:
+            return None
+        labels = graphcut_native(*prob)
+        if labels is None:
+            return None
+        lab = labels.astype(bool)
+    else:
+        sc = (GC_COARSE_NODES / float(fh * fw)) ** 0.5
         nh = max(2, int(fh * sc))
         nw = max(2, int(fw * sc))
-        a_ = cv2.resize(a_, (nw, nh), interpolation=cv2.INTER_AREA)
-        b_ = cv2.resize(b_, (nw, nh), interpolation=cv2.INTER_AREA)
-        ma_s = cv2.resize(ma_.astype(np.uint8), (nw, nh),
-                          interpolation=cv2.INTER_NEAREST).astype(bool)
-        mb_s = cv2.resize(mb_.astype(np.uint8), (nw, nh),
-                          interpolation=cv2.INTER_NEAREST).astype(bool)
-    else:
-        ma_s, mb_s = ma_, mb_
-    both = ma_s & mb_s
-    if not both.any():
-        return None
-    full_ma, full_mb = ma_, mb_
-    ma_, mb_ = ma_s, mb_s
-    h, w = both.shape
-
-    diff = np.sqrt(((a_ - b_) ** 2).sum(-1) + 1e-6)
-    gray_a = a_.mean(-1)
-    gray_b = b_.mean(-1)
-
-    def grad(g):
-        gx = np.zeros_like(g)
-        gy = np.zeros_like(g)
-        gx[:, 1:-1] = 0.5 * np.abs(g[:, 2:] - g[:, :-2])
-        gy[1:-1, :] = 0.5 * np.abs(g[2:, :] - g[:-2, :])
-        return gx + gy
-
-    gsum = grad(gray_a) + grad(gray_b)
-
-    big = np.float32(1e8)
-    cap_src = np.where(ma_ & ~mb_, big, 0.0).astype(np.float32)
-    cap_snk = np.where(mb_ & ~ma_, big, 0.0).astype(np.float32)
-    if cap_src.max() == 0.0 or cap_snk.max() == 0.0:
-        # no exclusive region to anchor a terminal (fully nested masks):
-        # let the DP seam decide (it orients by the motion axis)
-        return None
-    # COST_COLOR_GRAD: color difference damped by local gradient so the
-    # seam prefers running along real edges
-    cost = (diff / (1.0 + 0.5 * gsum) + 1e-3).astype(np.float32)
-    inb = both.astype(np.float32)
-    cap_h = ((cost[:, :-1] + cost[:, 1:]) * 0.5
-             * np.maximum(inb[:, :-1], inb[:, 1:])).astype(np.float32)
-    cap_v = ((cost[:-1, :] + cost[1:, :]) * 0.5
-             * np.maximum(inb[:-1, :], inb[1:, :])).astype(np.float32)
-    # outside-the-union pixels carry no edges
-    union = (ma_ | mb_).astype(np.float32)
-    cap_h *= np.minimum(union[:, :-1], union[:, 1:])
-    cap_v *= np.minimum(union[:-1, :], union[1:, :])
-
-    labels = graphcut_native(cap_src, cap_snk, cap_h, cap_v)
-    if labels is None:
-        return None
-    lab = labels.astype(np.uint8)
-    if lab.shape != full_ma.shape:
-        lab = cv2.resize(lab, (full_ma.shape[1], full_ma.shape[0]),
-                         interpolation=cv2.INTER_NEAREST)
-    lab = lab.astype(bool)
-    both_full = full_ma & full_mb
+        ac = cv2.resize(a_, (nw, nh), interpolation=cv2.INTER_AREA)
+        bc = cv2.resize(b_, (nw, nh), interpolation=cv2.INTER_AREA)
+        mac = cv2.resize(ma_.astype(np.uint8), (nw, nh),
+                         interpolation=cv2.INTER_NEAREST).astype(bool)
+        mbc = cv2.resize(mb_.astype(np.uint8), (nw, nh),
+                         interpolation=cv2.INTER_NEAREST).astype(bool)
+        if not (mac & mbc).any():
+            return None
+        prob_c = _gc_problem(ac, bc, mac, mbc)
+        if prob_c is None:
+            return None
+        lab_c = graphcut_native(*prob_c)
+        if lab_c is None:
+            return None
+        lab_up = cv2.resize(lab_c.astype(np.uint8), (fw, fh),
+                            interpolation=cv2.INTER_NEAREST).astype(bool)
+        prob_f = _gc_problem(a_, b_, ma_, mb_)
+        if prob_f is None:
+            return None
+        cap_src, cap_snk, cap_h, cap_v = prob_f
+        big = np.float32(1e8)
+        # band wide enough to cover >=3 coarse pixels of NN quantization
+        band = max(32, int(round(3.0 / sc)))
+        lab = lab_up
+        for attempt in range(2):
+            in_band = _seam_band(lab_up, band)
+            pin_a = both_full & ~in_band & lab_up
+            pin_b = both_full & ~in_band & ~lab_up
+            cs2 = cap_src.copy()
+            ck2 = cap_snk.copy()
+            cs2[pin_a] = big
+            ck2[pin_b] = big
+            labels = graphcut_native(cs2, ck2, cap_h, cap_v)
+            if labels is None:
+                return None
+            lab = labels.astype(bool)
+            # band-touch check: a label discontinuity adjacent to a pinned
+            # pixel means the optimum pressed against the band wall; widen
+            # once and re-solve (the coarse seam sits at the band center,
+            # so an interior optimum never touches the pins)
+            if attempt == 0 and _cut_touches(lab, pin_a | pin_b):
+                band *= 2
+                continue
+            break
     new_a = ma.copy()
     new_b = mb.copy()
     na_ = (full_ma & ~full_mb) | (both_full & lab)

@@ -21,7 +21,8 @@ Capability parity: stitchInterStripsCustom (reference: stitch_global.cpp:
       skipping gains ~1 (:497-573);
   (g) canvas-size-adaptive exposure compensation (:307-326);
   (h) seam finding at <=8 MP (:583-630) — graph-cut min-cut first (native
-      Dinic solver, COST_COLOR_GRAD analog) with the DP seam as fallback,
+      Boykov-Kolmogorov solver at full seam resolution via banded
+      refinement, COST_COLOR_GRAD analog) with the DP seam as fallback,
       the reference's own ladder (:616-627);
   (i) blend bands max(max(5, cfg), ceil(log2(maxdim))-1) capped 12, and
       multiband blending with soft (sigma=10) feathered seam masks

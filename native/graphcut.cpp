@@ -15,135 +15,310 @@
 //     cap_v: ((h-1)*w) symmetric vertical neighbor capacities
 //     labels_out: (h*w) uint8; 1 = source side (image A), 0 = sink side
 //
-// Algorithm: Dinic's max-flow (BFS level graph + iterative blocking-flow
-// DFS with current-arc pointers). Simple, deterministic, and easy to
-// verify; grid seam graphs converge in few phases.
+// Algorithm: Boykov-Kolmogorov max-flow (two search trees + orphan
+// adoption), the empirically-fastest solver family for low-connectivity
+// vision grids — the round-3 Dinic implementation was superlinear on big
+// overlaps (80 s at 1.5 M nodes vs ~1-2 s here), which forced a 100k-node
+// cap + label upsampling; BK removes the cap so the cut runs at the full
+// reference seam resolution. Grid arcs are implicit (4 residual planes
+// indexed by direction), terminal capacities are collapsed into one
+// signed residual per node (min(cap_src, cap_snk) is flow through the
+// node regardless of the cut, so the optimal partition is unchanged).
 
 #include <algorithm>
 #include <cstdint>
-#include <cstdlib>
 #include <cstring>
 #include <vector>
 
 namespace {
 
-struct Arc {
-  int head;
-  float rcap;
-};
+constexpr float kEps = 1e-12f;
 
-class Dinic {
+// parent encodings beyond the 4 grid directions
+constexpr uint8_t kParTerminal = 4;
+constexpr uint8_t kParNone = 5;
+
+constexpr uint8_t kFree = 0, kTreeS = 1, kTreeT = 2;
+
+class BKGrid {
  public:
-  explicit Dinic(int n) : n_(n), first_(n + 2) {
-    // node n_ = source, n_ + 1 = sink
-    for (auto& v : first_) v.reserve(6);
-  }
+  BKGrid(int h, int w, const float* cap_src, const float* cap_snk,
+         const float* cap_h, const float* cap_v)
+      : h_(h), w_(w), n_(h * w) {
+    tr_.resize(n_);
+    for (int d = 0; d < 4; ++d) rc_[d].assign(n_, 0.0f);
+    tree_.assign(n_, kFree);
+    par_.assign(n_, kParNone);
+    ts_.assign(n_, 0);
+    dist_.assign(n_, 0);
+    act_.assign(n_, 0);
 
-  int src() const { return n_; }
-  int snk() const { return n_ + 1; }
-
-  void add_edge(int u, int v, float cap_uv, float cap_vu) {
-    first_[u].push_back(static_cast<int>(arcs_.size()));
-    arcs_.push_back(Arc{v, cap_uv});
-    first_[v].push_back(static_cast<int>(arcs_.size()));
-    arcs_.push_back(Arc{u, cap_vu});
+    // terminal collapse: tr > 0 = residual src->i, tr < 0 = residual
+    // i->snk; the min(cap_src, cap_snk) component saturates either way
+    // and never affects the partition
+    double base = 0.0;
+    for (int i = 0; i < n_; ++i) {
+      tr_[i] = cap_src[i] - cap_snk[i];
+      base += std::min(cap_src[i], cap_snk[i]);
+    }
+    base_flow_ = base;
+    // implicit grid arcs: rc_[0][i] = residual i -> i+1 (right),
+    // rc_[1][i] = i -> i-1 (left), rc_[2][i] = i -> i+w (down),
+    // rc_[3][i] = i -> i-w (up). Sister of (i, d) is (nbr, d^1).
+    for (int y = 0; y < h_; ++y)
+      for (int x = 0; x + 1 < w_; ++x) {
+        float c = cap_h[y * (w_ - 1) + x];
+        rc_[0][y * w_ + x] = c;
+        rc_[1][y * w_ + x + 1] = c;
+      }
+    for (int y = 0; y + 1 < h_; ++y)
+      for (int x = 0; x < w_; ++x) {
+        float c = cap_v[y * w_ + x];
+        rc_[2][y * w_ + x] = c;
+        rc_[3][(y + 1) * w_ + x] = c;
+      }
   }
 
   double maxflow() {
-    double total = 0.0;
-    const int N = n_ + 2;
-    std::vector<int> level(N);
-    std::vector<size_t> it(N);
-    std::vector<int> queue(N);
-
-    while (true) {
-      // BFS level graph from source
-      std::fill(level.begin(), level.end(), -1);
-      int qh = 0, qt = 0;
-      queue[qt++] = src();
-      level[src()] = 0;
-      while (qh < qt) {
-        int u = queue[qh++];
-        for (int ai : first_[u]) {
-          const Arc& a = arcs_[ai];
-          if (a.rcap > 1e-12f && level[a.head] < 0) {
-            level[a.head] = level[u] + 1;
-            queue[qt++] = a.head;
-          }
-        }
+    active_.reserve(n_ / 4 + 16);
+    orphans_.reserve(1024);
+    for (int i = 0; i < n_; ++i) {
+      if (tr_[i] > kEps) {
+        tree_[i] = kTreeS;
+        par_[i] = kParTerminal;
+        dist_[i] = 1;
+        push_active(i);
+      } else if (tr_[i] < -kEps) {
+        tree_[i] = kTreeT;
+        par_[i] = kParTerminal;
+        dist_[i] = 1;
+        push_active(i);
       }
-      if (level[snk()] < 0) break;
-      std::fill(it.begin(), it.end(), 0);
+    }
 
-      // blocking flow: iterative DFS with an explicit path stack
-      std::vector<int> path;  // arc indices along the current path
-      path.reserve(256);
-      int u = src();
-      while (true) {
-        if (u == snk()) {
-          float bn = 1e30f;
-          for (int ai : path) bn = std::min(bn, arcs_[ai].rcap);
-          for (int ai : path) {
-            arcs_[ai].rcap -= bn;
-            arcs_[ai ^ 1].rcap += bn;
-          }
-          total += bn;
-          // retreat to the first saturated arc on the path
-          size_t cut = 0;
-          while (cut < path.size() && arcs_[path[cut]].rcap > 1e-12f)
-            ++cut;
-          path.resize(cut);
-          u = path.empty() ? src() : arcs_[path.back()].head;
+    double flow = 0.0;
+    while (true) {
+      // ---- grow: find an augmenting bridge arc between the trees ----
+      int sp = -1, tp = -1, bridge_d = -1;
+      while (head_ < active_.size()) {
+        int p = active_[head_];
+        if (tree_[p] == kFree) {  // stale entry
+          pop_active();
           continue;
         }
-        bool advanced = false;
-        for (; it[u] < first_[u].size(); ++it[u]) {
-          int ai = first_[u][it[u]];
-          const Arc& a = arcs_[ai];
-          if (a.rcap > 1e-12f && level[a.head] == level[u] + 1) {
-            path.push_back(ai);
-            u = a.head;
-            advanced = true;
+        const bool in_s = tree_[p] == kTreeS;
+        const int x = p % w_;
+        bool found = false;
+        for (int d = 0; d < 4; ++d) {
+          int q = nbr_checked(p, d, x);
+          if (q < 0) continue;
+          // S grows along residual p->q; T grows along residual q->p
+          float r = in_s ? rc_[d][p] : rc_[d ^ 1][q];
+          if (r <= kEps) continue;
+          if (tree_[q] == kFree) {
+            tree_[q] = tree_[p];
+            par_[q] = static_cast<uint8_t>(d ^ 1);
+            ts_[q] = ts_[p];
+            dist_[q] = dist_[p] + 1;
+            push_active(q);
+          } else if (tree_[q] != tree_[p]) {
+            if (in_s) {
+              sp = p; tp = q; bridge_d = d;
+            } else {
+              sp = q; tp = p; bridge_d = d ^ 1;
+            }
+            found = true;
             break;
           }
         }
-        if (advanced) continue;
-        // dead end: prune this node from the level graph and retreat
-        level[u] = -1;
-        if (path.empty()) break;
-        int ai = path.back();
-        path.pop_back();
-        u = path.empty() ? src() : arcs_[path.back()].head;
-        (void)ai;
+        if (found) break;
+        pop_active();  // all arcs scanned; reactivated by events
       }
-    }
+      if (sp < 0) break;  // trees can no longer meet: done
 
-    // min-cut side: nodes reachable from the source in the residual graph
-    reach_.assign(N, 0);
-    int qh = 0, qt = 0;
-    std::vector<int> q(N);
-    q[qt++] = src();
-    reach_[src()] = 1;
-    while (qh < qt) {
-      int u = q[qh++];
-      for (int ai : first_[u]) {
-        const Arc& a = arcs_[ai];
-        if (a.rcap > 1e-12f && !reach_[a.head]) {
-          reach_[a.head] = 1;
-          q[qt++] = a.head;
-        }
-      }
+      ++time_;
+      flow += augment(sp, tp, bridge_d);
+      adopt_all();
     }
-    return total;
+    return flow + base_flow_;
   }
 
-  bool source_side(int i) const { return reach_[i] != 0; }
+  bool source_side(int i) const { return tree_[i] == kTreeS; }
 
  private:
-  int n_;
-  std::vector<std::vector<int>> first_;
-  std::vector<Arc> arcs_;
-  std::vector<uint8_t> reach_;
+  inline int nbr_checked(int i, int d, int x) const {
+    switch (d) {
+      case 0: return x + 1 < w_ ? i + 1 : -1;
+      case 1: return x > 0 ? i - 1 : -1;
+      case 2: return i + w_ < n_ ? i + w_ : -1;
+      default: return i - w_ >= 0 ? i - w_ : -1;
+    }
+  }
+  inline int nbr(int i, int d) const {
+    switch (d) {
+      case 0: return i + 1;
+      case 1: return i - 1;
+      case 2: return i + w_;
+      default: return i - w_;
+    }
+  }
+
+  inline void push_active(int i) {
+    if (!act_[i]) {
+      act_[i] = 1;
+      active_.push_back(i);
+    }
+  }
+  inline void pop_active() {
+    act_[active_[head_]] = 0;
+    ++head_;
+    if (head_ > 4096 && head_ * 2 > active_.size()) {
+      active_.erase(active_.begin(), active_.begin() + head_);
+      head_ = 0;
+    }
+  }
+
+  float augment(int sp, int tp, int d) {
+    // bottleneck over bridge + both tree paths + terminal residuals;
+    // tree roots are captured here, BEFORE orphaning breaks parent chains
+    float bn = rc_[d][sp];
+    int s_root = sp, t_root = tp;
+    for (int i = sp; par_[i] != kParTerminal;) {
+      int pd = par_[i];
+      int j = nbr(i, pd);
+      bn = std::min(bn, rc_[pd ^ 1][j]);  // arc parent -> node
+      i = j;
+      s_root = i;
+    }
+    bn = std::min(bn, tr_[s_root]);
+    for (int i = tp; par_[i] != kParTerminal;) {
+      int pd = par_[i];
+      bn = std::min(bn, rc_[pd][i]);  // arc node -> parent
+      i = nbr(i, pd);
+      t_root = i;
+    }
+    bn = std::min(bn, -tr_[t_root]);
+
+    // apply along the bridge
+    rc_[d][sp] -= bn;
+    rc_[d ^ 1][tp] += bn;
+    // S side: saturated parent arcs orphan the CHILD
+    for (int i = sp; par_[i] != kParTerminal;) {
+      int pd = par_[i];
+      int j = nbr(i, pd);
+      rc_[pd][i] += bn;
+      rc_[pd ^ 1][j] -= bn;
+      if (rc_[pd ^ 1][j] <= kEps) {
+        par_[i] = kParNone;
+        orphans_.push_back(i);
+      }
+      i = j;
+    }
+    tr_[s_root] -= bn;
+    if (tr_[s_root] <= kEps && par_[s_root] == kParTerminal) {
+      par_[s_root] = kParNone;
+      orphans_.push_back(s_root);
+    }
+    // T side
+    for (int i = tp; par_[i] != kParTerminal;) {
+      int pd = par_[i];
+      int j = nbr(i, pd);
+      rc_[pd][i] -= bn;
+      rc_[pd ^ 1][j] += bn;
+      if (rc_[pd][i] <= kEps) {
+        par_[i] = kParNone;
+        orphans_.push_back(i);
+      }
+      i = j;
+    }
+    tr_[t_root] += bn;
+    if (tr_[t_root] >= -kEps && par_[t_root] == kParTerminal) {
+      par_[t_root] = kParNone;
+      orphans_.push_back(t_root);
+    }
+    return bn;
+  }
+
+  // origin check with path marking: distance to the terminal, or -1 when
+  // the chain dead-ends in an orphan
+  int origin_dist(int start) {
+    int d = 0;
+    int i = start;
+    while (true) {
+      if (ts_[i] == time_) { d += dist_[i]; break; }
+      uint8_t p = par_[i];
+      if (p == kParTerminal) { d += 1; break; }
+      if (p == kParNone) return -1;
+      ++d;
+      i = nbr(i, p);
+    }
+    // mark the walked prefix so later checks are O(1)
+    int dd = d;
+    i = start;
+    while (ts_[i] != time_) {
+      ts_[i] = time_;
+      dist_[i] = dd;
+      --dd;
+      if (par_[i] == kParTerminal) break;
+      i = nbr(i, par_[i]);
+    }
+    return d;
+  }
+
+  void adopt_all() {
+    while (!orphans_.empty()) {
+      int o = orphans_.back();
+      orphans_.pop_back();
+      uint8_t t = tree_[o];
+      if (t == kFree) continue;
+      const bool in_s = t == kTreeS;
+      const int x = o % w_;
+      int best_d = -1, best_dist = 1 << 30;
+      for (int d = 0; d < 4; ++d) {
+        int q = nbr_checked(o, d, x);
+        if (q < 0 || tree_[q] != t) continue;
+        // S needs residual q->o (arc from q toward o is (q, d^1));
+        // T needs residual o->q
+        float r = in_s ? rc_[d ^ 1][q] : rc_[d][o];
+        if (r <= kEps) continue;
+        int dd = origin_dist(q);
+        if (dd >= 0 && dd < best_dist) {
+          best_dist = dd;
+          best_d = d;
+        }
+      }
+      if (best_d >= 0) {
+        par_[o] = static_cast<uint8_t>(best_d);
+        ts_[o] = time_;
+        dist_[o] = best_dist + 1;
+        continue;
+      }
+      // no parent: o leaves the tree; neighbors that could reach it get
+      // reactivated, children become orphans
+      for (int d = 0; d < 4; ++d) {
+        int q = nbr_checked(o, d, x);
+        if (q < 0 || tree_[q] != t) continue;
+        float r = in_s ? rc_[d ^ 1][q] : rc_[d][o];
+        if (r > kEps) push_active(q);
+        if (par_[q] == (d ^ 1)) {  // q's parent is o
+          par_[q] = kParNone;
+          orphans_.push_back(q);
+        }
+      }
+      tree_[o] = kFree;
+    }
+  }
+
+  int h_, w_, n_;
+  double base_flow_ = 0.0;
+  int time_ = 0;
+  std::vector<float> tr_;
+  std::vector<float> rc_[4];
+  std::vector<uint8_t> tree_, par_, act_;
+  std::vector<int> ts_, dist_;
+  std::vector<int> active_;
+  size_t head_ = 0;
+  std::vector<int> orphans_;
 };
 
 }  // namespace
@@ -153,25 +328,9 @@ extern "C" {
 double tm_graphcut(int h, int w, const float* cap_src,
                    const float* cap_snk, const float* cap_h,
                    const float* cap_v, unsigned char* labels_out) {
-  const int n = h * w;
-  Dinic g(n);
-  for (int i = 0; i < n; ++i) {
-    if (cap_src[i] > 0.0f) g.add_edge(g.src(), i, cap_src[i], 0.0f);
-    if (cap_snk[i] > 0.0f) g.add_edge(i, g.snk(), cap_snk[i], 0.0f);
-  }
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x + 1 < w; ++x) {
-      float c = cap_h[y * (w - 1) + x];
-      if (c > 0.0f) g.add_edge(y * w + x, y * w + x + 1, c, c);
-    }
-  }
-  for (int y = 0; y + 1 < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      float c = cap_v[y * w + x];
-      if (c > 0.0f) g.add_edge(y * w + x, (y + 1) * w + x, c, c);
-    }
-  }
+  BKGrid g(h, w, cap_src, cap_snk, cap_h, cap_v);
   double flow = g.maxflow();
+  const int n = h * w;
   for (int i = 0; i < n; ++i) labels_out[i] = g.source_side(i) ? 1 : 0;
   return flow;
 }
