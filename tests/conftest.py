@@ -100,7 +100,7 @@ def ortho():
 # ---- fast test tier ("pytest -m quick": < 5 min on one CPU core) ----------
 _QUICK_MODULES = {
     "test_config", "test_ops_image", "test_ops_blend_seam",
-    "test_graphcut", "test_ops_ransac", "test_pallas_sift",
+    "test_graphcut", "test_ops_ransac", "test_pallas_sift", "test_hbm",
 }
 
 
