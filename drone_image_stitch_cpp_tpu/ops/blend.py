@@ -377,6 +377,9 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                                                crop_w=crop_w)))
             else:
                 _band_done(t_idx)  # empty tile: rows are final zeros
+        if fed:
+            from ..runtime import hbm
+            hbm.sample(f"compose-tile{t_idx}")
         if on_frame_retired is not None:
             # feeds are enqueued; JAX keeps donated/arg buffers alive until
             # execution, so the caller may drop its references now

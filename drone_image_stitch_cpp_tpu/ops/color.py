@@ -40,6 +40,53 @@ def to_uint8(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint8)
 
 
+def yuv420_luma(packed: jnp.ndarray) -> jnp.ndarray:
+    """Y plane of a packed I420 frame: (..., H*3/2, W) -> (..., H, W) f32.
+
+    JPEG Y is exactly the BT.601 luma the gray conversion computes (full
+    range), so detect stages read it directly — no color math at all.
+    """
+    h = packed.shape[-2] * 2 // 3
+    return packed[..., :h, :].astype(jnp.float32)
+
+
+def _fancy_up2(c: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """2x chroma upsample along ``axis`` with libjpeg's triangle filter
+    (h2v2 fancy upsampling): out[2i] = 3/4 c[i] + 1/4 c[i-1],
+    out[2i+1] = 3/4 c[i] + 1/4 c[i+1], edges replicated."""
+    c = jnp.moveaxis(c, axis, -1)
+    prev = jnp.concatenate([c[..., :1], c[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([c[..., 1:], c[..., -1:]], axis=-1)
+    even = 0.75 * c + 0.25 * prev
+    odd = 0.75 * c + 0.25 * nxt
+    out = jnp.stack([even, odd], axis=-1).reshape(*c.shape[:-1],
+                                                  2 * c.shape[-1])
+    return jnp.moveaxis(out, -1, axis)
+
+
+def yuv420_to_bgr(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed I420 (..., H*3/2, W) uint8 -> (..., H, W, 3) BGR float32.
+
+    The FrameStore ships frames across the host->device link in the
+    JPEG's native 4:2:0 planar form (1.5 bytes/px instead of 3 — the
+    relay transfer is the ingest bottleneck); consuming fused programs
+    convert here. Chroma upsampling matches libjpeg's fancy (triangle)
+    filter; the JFIF full-range BT.601 matrix matches its YCbCr->RGB.
+    """
+    h = packed.shape[-2] * 2 // 3
+    w = packed.shape[-1]
+    lead = packed.shape[:-2]
+    y = packed[..., :h, :].astype(jnp.float32)
+    u = packed[..., h:h + h // 4, :].reshape(*lead, h // 2, w // 2)
+    v = packed[..., h + h // 4:, :].reshape(*lead, h // 2, w // 2)
+    u = _fancy_up2(_fancy_up2(u.astype(jnp.float32), -1), -2) - 128.0
+    v = _fancy_up2(_fancy_up2(v.astype(jnp.float32), -1), -2) - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136286 * u - 0.714136286 * v
+    b = y + 1.772 * u
+    return jnp.clip(jnp.stack([b, g, r], axis=-1), 0.0, 255.0)
+
+
 def nonblack_mask(img: jnp.ndarray, thresh: float = 2.0) -> jnp.ndarray:
     """Mask of pixels whose gray level exceeds ``thresh``.
 

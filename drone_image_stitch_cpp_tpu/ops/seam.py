@@ -338,6 +338,12 @@ def _align_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+@jax.jit
+def _clip_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Round-and-saturate to uint8 on device before a host fetch."""
+    return jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint8)
+
+
 def find_seams_sequential(images: list[jnp.ndarray],
                           masks: list[jnp.ndarray],
                           axes: list[str] | None = None,
@@ -380,15 +386,18 @@ def find_seams_sequential(images: list[jnp.ndarray],
             if method == "graphcut":
                 # fetch only the UNION bbox of the two masks (the solver
                 # needs the exclusive regions as terminals), bucketed to a
-                # 256 grid to bound shape variants; fetching full canvases
-                # moved ~200 MB per pair over the remote relay
+                # 256 grid to bound shape variants, and as UINT8 (the
+                # float32 canvases are 4x the bytes; the min-cut costs are
+                # insensitive to the <=0.5-level rounding) — fetching full
+                # f32 canvases moved ~200 MB per pair over the remote relay
                 uy0 = min(bi[0], bj[0])
                 ux0 = min(bi[2], bj[2])
                 uy1 = min(h, uy0 + _align_up(max(bi[1], bj[1]) - uy0, 256))
                 ux1 = min(w, ux0 + _align_up(max(bi[3], bj[3]) - ux0, 256))
                 usl = (slice(uy0, uy1), slice(ux0, ux1))
                 got = graphcut_pairwise_seam(
-                    np.asarray(images[i][usl]), np.asarray(images[j][usl]),
+                    np.asarray(_clip_u8(images[i][usl])),
+                    np.asarray(_clip_u8(images[j][usl])),
                     np.asarray(masks[i][usl]), np.asarray(masks[j][usl]))
                 if got is not None:
                     masks[i] = masks[i].at[usl].set(jnp.asarray(got[0]))

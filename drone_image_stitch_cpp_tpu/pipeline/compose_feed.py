@@ -30,7 +30,7 @@ import numpy as np
 
 from ..ops import blend as B
 from ..ops import pallas_warp as PW
-from ..ops.color import nonblack_mask
+from ..ops.color import nonblack_mask, yuv420_to_bgr
 from ..ops.gaussian import gaussian_blur
 from ..ops.warp import warp_affine as warp_xla
 from ..ops.warp import warp_perspective
@@ -73,8 +73,11 @@ def _feed_body(cv, img, gain_m1, chan_gain, seam_mask, t23, h33, starts,
                ny: int, nx: int, ph: int, pw: int, use_pallas: bool,
                has_gain: bool, persp: bool, mode: str):
     # frames/strips stay device-resident as uint8 (4x less HBM — ten 4K
-    # strip panoramas as f32 alone exceed a v5e's memory); convert here
-    img32 = img.astype(jnp.float32)
+    # strip panoramas as f32 alone exceed a v5e's memory); convert here.
+    # 2-D inputs are the FrameStore's packed I420 wire format (H*3/2, W):
+    # the YCbCr->BGR conversion fuses into this program
+    img32 = (yuv420_to_bgr(img) if img.ndim == 2
+             else img.astype(jnp.float32))
     h, w = img32.shape[0], img32.shape[1]
     if persp:
         wimg = warp_perspective(img32, h33, rh, rw)
@@ -206,6 +209,8 @@ def feed_frames_grouped(cv, entries, seam_scale: float, mode: str):
         k = len(es)
         h = int(es[0]["img"].shape[0])
         w = int(es[0]["img"].shape[1])
+        if es[0]["img"].ndim == 2:     # packed I420: logical frame dims
+            h = h * 2 // 3
         if use_pallas:
             plans = [PW.warp_plan(e["t_full"], rh, rw, h, w) for e in es]
             startss = jnp.asarray(np.stack([p[0] for p in plans]))
@@ -258,6 +263,8 @@ def feed_frame(cv, img, seam_mask, t_full: np.ndarray, tlx: int,
     with host ``h33``.
     """
     h, w = int(img.shape[0]), int(img.shape[1])
+    if img.ndim == 2:                  # packed I420: logical frame dims
+        h = h * 2 // 3
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = (not persp and (on_tpu or PW._INTERPRET)
                   and PW.pallas_warp_supported(t_full))

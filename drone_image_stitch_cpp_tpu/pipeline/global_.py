@@ -406,6 +406,8 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
         del img32
 
     t_seamwarp = time.perf_counter()
+    from ..runtime import hbm
+    hbm.sample("global-seam-warps")
     log.log("GlobalCustom", "seam-scale warps done",
             seconds=round(t_seamwarp - t_aligned, 2))
 

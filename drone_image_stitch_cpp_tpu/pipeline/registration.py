@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import features as F
-from ..ops.color import bgr_to_gray
+from ..ops.color import bgr_to_gray, yuv420_luma
 from ..ops.resize import resize_area, scale_for_megapixels
 
 def _bucket_dim(d: int) -> int:
@@ -52,6 +52,18 @@ def _detect_batch(grays: jnp.ndarray, true_hw: jnp.ndarray, max_kp: int,
     return feats._replace(valid=ok)
 
 
+def _gray_detect_tail(gray: jnp.ndarray, max_kp: int, wh: int, ww: int,
+                      bh: int, bw: int) -> F.Features:
+    """Shared tail of the fused ingest+detect programs: resize to the work
+    scale, edge-pad to the bucket, batched detect."""
+    b = gray.shape[0]
+    if (wh, ww) != gray.shape[1:]:
+        gray = jax.vmap(lambda g: resize_area(g, wh, ww))(gray)
+    gray = jnp.pad(gray, ((0, 0), (0, bh - wh), (0, bw - ww)), mode="edge")
+    true_hw = jnp.broadcast_to(jnp.asarray([wh, ww], jnp.int32), (b, 2))
+    return _detect_batch(gray, true_hw, max_kp, bh, bw)
+
+
 @functools.partial(jax.jit, static_argnames=("max_kp", "wh", "ww", "bh",
                                              "bw"))
 def _detect_batch_u8(frames_u8: jnp.ndarray, max_kp: int, wh: int, ww: int,
@@ -63,13 +75,19 @@ def _detect_batch_u8(frames_u8: jnp.ndarray, max_kp: int, wh: int, ww: int,
     pad run inside the one compiled program instead of 3 dispatches per
     frame (~80 ms each on the remote relay).
     """
-    b = frames_u8.shape[0]
     gray = bgr_to_gray(frames_u8.astype(jnp.float32))
-    if (wh, ww) != gray.shape[1:]:
-        gray = jax.vmap(lambda g: resize_area(g, wh, ww))(gray)
-    gray = jnp.pad(gray, ((0, 0), (0, bh - wh), (0, bw - ww)), mode="edge")
-    true_hw = jnp.broadcast_to(jnp.asarray([wh, ww], jnp.int32), (b, 2))
-    return _detect_batch(gray, true_hw, max_kp, bh, bw)
+    return _gray_detect_tail(gray, max_kp, wh, ww, bh, bw)
+
+
+@functools.partial(jax.jit, static_argnames=("max_kp", "wh", "ww", "bh",
+                                             "bw"))
+def _detect_batch_yuv(packed_u8: jnp.ndarray, max_kp: int, wh: int,
+                      ww: int, bh: int, bw: int) -> F.Features:
+    """Fused ingest+detect for packed I420 frames (B, H*3/2, W) uint8
+    (the FrameStore's yuv420 wire format, 1.5 B/px): the JPEG Y plane IS
+    the BT.601 luma the BGR path computes, so gray extraction is a slice."""
+    gray = yuv420_luma(packed_u8)
+    return _gray_detect_tail(gray, max_kp, wh, ww, bh, bw)
 
 
 def detect_features(images: List[np.ndarray], n_features: int,
@@ -114,10 +132,12 @@ def detect_features(images: List[np.ndarray], n_features: int,
         outs = []
         chunks = [indices[c0:c0 + _DETECT_CHUNK]
                   for c0 in range(0, n, _DETECT_CHUNK)]
+        detect = (_detect_batch_yuv if getattr(store, "fmt", "bgr")
+                  == "yuv420" else _detect_batch_u8)
         for ch in chunks:
             dev_chunk = store.batch(ch, pad_to=_DETECT_CHUNK
                                     if n > _DETECT_CHUNK else 0)
-            fc = _detect_batch_u8(dev_chunk, n_features, wh, ww, bh, bw)
+            fc = detect(dev_chunk, n_features, wh, ww, bh, bw)
             outs.append(jax.tree_util.tree_map(
                 lambda a, t=len(ch): a[:t], fc))
         feats = (outs[0] if len(outs) == 1 else jax.tree_util.tree_map(

@@ -29,7 +29,7 @@ from ..ops import blend as B
 from ..ops import exposure as E
 from ..ops import match as M
 from ..ops import seam as S
-from ..ops.color import apply_channel_gains, nonblack_mask
+from ..ops.color import apply_channel_gains, nonblack_mask, yuv420_to_bgr
 from ..ops.resize import resize_area, resize_linear, scale_for_megapixels
 from ..ops.warp import warp_affine, warp_perspective
 from ..ops.pallas_warp import warp_affine as fast_warp
@@ -58,7 +58,9 @@ def _seam_warp_batch(imgs: jnp.ndarray, ts: jnp.ndarray, sh: int, sw: int,
     """
 
     def one(img, t):
-        img32 = img.astype(jnp.float32)
+        # 2-D rows are the FrameStore's packed I420 wire format
+        img32 = (yuv420_to_bgr(img) if img.ndim == 2
+                 else img.astype(jnp.float32))
         mask32 = nonblack_mask(img32, -1.0).astype(jnp.float32)
         if persp:
             h33 = jnp.concatenate(
@@ -249,7 +251,9 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         dev_imgs = [store.frame(i) for i in indices]
     else:
         dev_imgs = [jnp.asarray(im) for im in images]
-    to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
+    # 2-D arrays are the FrameStore's packed I420 wire format
+    to_f32 = jax.jit(lambda a: (yuv420_to_bgr(a) if a.ndim == 2
+                                else a.astype(jnp.float32)))
     _on_dev, _ = CF.device_colocator()
 
     # canvas bbox over all transformed corners — host numpy throughout
@@ -326,6 +330,8 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
                        for g in np.asarray(gain_maps.mean(axis=(1, 2)))])
 
     axes = _axes_from_transforms(np.asarray(transforms))
+    from ..runtime import hbm
+    hbm.sample(f"{stage}-seam-warps")
     with log.timer(stage, "seams"):
         seam_masks = S.find_seams_sequential(seam_imgs, seam_masks, axes)
 

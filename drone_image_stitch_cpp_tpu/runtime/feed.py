@@ -71,8 +71,9 @@ class FrameStore:
 
     CHUNK = 8
 
-    def __init__(self, images: Sequence[np.ndarray]):
+    def __init__(self, images: Sequence[np.ndarray], fmt: str = "bgr"):
         self.images = list(images)
+        self.fmt = fmt          # "bgr": (H, W, 3) u8 | "yuv420": packed I420
         self._chunks: dict = {}
         self._paths: Optional[List[str]] = None
         self._events: list = []
@@ -82,13 +83,25 @@ class FrameStore:
     def from_paths(cls, paths: Sequence[str],
                    n_threads: Optional[int] = None,
                    scale_denom: int = 1,
-                   after: Optional["FrameStore"] = None) -> "FrameStore":
+                   after: Optional["FrameStore"] = None,
+                   fmt: str = "auto") -> "FrameStore":
         """``scale_denom``: decode at 1/denom resolution (libjpeg DCT
         scaling — the detect stages work at <=1800 px, so a half-res
         store quarters both decode time and relay transfer). ``after``:
         another streaming store whose decode must COMPLETE before this
         one starts (both threads share the single host core; the
-        half-res grouping store must win that race)."""
+        half-res grouping store must win that race).
+
+        ``fmt="auto"`` probes the first file with the native raw 4:2:0
+        decoder: when the sources are 4:2:0 YCbCr JPEGs (drone cameras
+        and this repo's benches), frames are stored/shipped in the JPEG's
+        NATIVE planar form — (H*3/2, W) uint8 packed I420 — which halves
+        host->device transfer (1.5 B/px vs 3; the relay wire is the
+        ingest bottleneck) AND skips libjpeg's upsample+color passes on
+        the host. Consumers convert on device (ops/color.yuv420_to_bgr);
+        detect reads the Y plane directly. Non-420 inputs keep the BGR
+        path; a later frame failing the raw decode is marked failed and
+        surfaces as FrameStoreError (the app's eager-loader fallback)."""
         import threading
 
         st = cls([])
@@ -97,6 +110,21 @@ class FrameStore:
         n_chunks = -(-len(st._paths) // cls.CHUNK) if st._paths else 0
         st._events = [threading.Event() for _ in range(n_chunks)]
         nt = n_threads or min(8, (os.cpu_count() or 1) * 2)
+        if fmt == "auto":
+            fmt = "bgr"
+            if scale_denom == 1 and st._paths:
+                from ..utils.native import decode_image_yuv420_native
+                if decode_image_yuv420_native(st._paths[0]) is not None:
+                    fmt = "yuv420"
+        st.fmt = fmt
+
+        def _decode(chunk):
+            if st.fmt == "yuv420":
+                from ..utils.native import decode_batch_yuv420_native
+                out = decode_batch_yuv420_native(list(chunk), nt)
+                if out is not None:
+                    return out
+            return _decode_host(chunk, nt, scale_denom)
 
         def _run():
             if after is not None:
@@ -111,8 +139,7 @@ class FrameStore:
             for ci in range(n_chunks):
                 c0 = ci * cls.CHUNK
                 chunk = st._paths[c0:c0 + cls.CHUNK]
-                for k, img in enumerate(_decode_host(chunk, nt,
-                                                     scale_denom)):
+                for k, img in enumerate(_decode(chunk)):
                     if img is None or (st.images[0] is not None
                                        and c0 + k > 0
                                        and img.shape != st.images[0].shape):
@@ -130,28 +157,52 @@ class FrameStore:
 
     @property
     def shape0(self):
-        """Uniform frame shape (blocks on frame 0 in streaming mode)."""
+        """Uniform LOGICAL frame shape — (H, W, 3) regardless of storage
+        format (blocks on frame 0 in streaming mode)."""
         if self._events:
             self._events[0].wait()
         if self.images[0] is None:
             raise FrameStoreError("frame 0 unreadable")
-        return self.images[0].shape
+        sh = self.images[0].shape
+        if self.fmt == "yuv420":
+            return (sh[0] * 2 // 3, sh[1], 3)
+        return sh
+
+    def _host_bgr(self, i: int) -> np.ndarray:
+        """BGR view of a stored packed-I420 frame. Re-decodes the source
+        JPEG through the standard BGR path so the result is BIT-EXACT with
+        the eager loader (cv2's I420 conversion uses nearest-neighbor
+        chroma, libjpeg fancy triangle — off by a few chroma levels).
+        These are rare host-side paths (eager fallbacks, compositing
+        rescale); the hot paths consume the device-side conversion."""
+        if self._paths is not None:
+            out = _decode_host([self._paths[i]], 1)[0]
+            if out is not None:
+                return out
+        import cv2
+        return cv2.cvtColor(self.images[i], cv2.COLOR_YUV2BGR_I420)
 
     def host_images(self) -> List[np.ndarray]:
-        """All decoded frames (blocks); raises on any failure."""
+        """All decoded frames as BGR uint8 (blocks); raises on any
+        failure. In yuv420 mode each frame converts on demand (rare
+        paths: eager fallbacks, compositing rescale)."""
         self.wait_all()
         if self.failed:
             raise FrameStoreError(
                 f"unreadable/mismatched frames at indices {self.failed}")
+        if self.fmt == "yuv420":
+            return [self._host_bgr(i) for i in range(len(self.images))]
         return self.images
 
     def host_frame(self, i: int) -> np.ndarray:
-        """One decoded host frame (blocks on its chunk in streaming
-        mode); raises if that frame failed to decode."""
+        """One decoded host frame as BGR uint8 (blocks on its chunk in
+        streaming mode); raises if that frame failed to decode."""
         if self._events:
             self._events[i // self.CHUNK].wait()
         if self.images[i] is None:
             raise FrameStoreError(f"unreadable frame at index {i}")
+        if self.fmt == "yuv420":
+            return self._host_bgr(i)
         return self.images[i]
 
     def __len__(self) -> int:
@@ -170,6 +221,8 @@ class FrameStore:
                     return self._chunks[c0]
             self._chunks[c0] = jax.device_put(
                 np.stack(self.images[c0:c0 + self.CHUNK]))
+            from . import hbm
+            hbm.sample(f"framestore-chunk{c0}")
         return self._chunks[c0]
 
     def prefetch(self, i: int) -> None:

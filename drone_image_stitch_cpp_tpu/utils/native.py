@@ -45,6 +45,14 @@ def _load():
             lib.tm_decode_jpeg_batch_scaled.restype = ctypes.c_int
             lib.tm_decode_jpeg_batch_scaled.argtypes = \
                 lib.tm_decode_jpeg_batch.argtypes + [ctypes.c_int]
+        if hasattr(lib, "tm_decode_jpeg_yuv420"):
+            lib.tm_decode_jpeg_yuv420.restype = \
+                ctypes.POINTER(ctypes.c_ubyte)
+            lib.tm_decode_jpeg_yuv420.argtypes = \
+                lib.tm_decode_jpeg.argtypes
+            lib.tm_decode_jpeg_batch_yuv420.restype = ctypes.c_int
+            lib.tm_decode_jpeg_batch_yuv420.argtypes = \
+                lib.tm_decode_jpeg_batch.argtypes
         fptr = np.ctypeslib.ndpointer(dtype=np.float32, flags="C")
         uptr = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C")
         lib.tm_graphcut.restype = ctypes.c_double
@@ -160,6 +168,61 @@ class NativeJpegEncoder:
 def jpeg_encoder_available() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "tm_jpeg_enc_start")
+
+
+def decode_image_yuv420_native(path: str) -> Optional[np.ndarray]:
+    """Decode one 4:2:0 JPEG to its native packed planar form: an
+    (H*3/2, W) uint8 array — Y plane (H, W), then U then V ((H/2, W/2)
+    each, raveled into W-wide rows; cv2's I420 layout). None unless the
+    file is a 3-component 4:2:0 YCbCr JPEG with even dims (callers fall
+    back to the BGR decode)."""
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    lib = _load()
+    if lib is None or not hasattr(lib, "tm_decode_jpeg_yuv420"):
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    buf = lib.tm_decode_jpeg_yuv420(path.encode(), ctypes.byref(w),
+                                    ctypes.byref(h))
+    if not buf:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(
+            buf, shape=(h.value * 3 // 2, w.value)).copy()
+    finally:
+        lib.tm_free(buf)
+    return arr
+
+
+def decode_batch_yuv420_native(paths: List[str], n_threads: int = 4
+                               ) -> Optional[List[Optional[np.ndarray]]]:
+    """Thread-pool batch of decode_image_yuv420_native; entries that fail
+    (non-420 / odd dims / unreadable) are None — the FrameStore marks them
+    failed rather than dropping the whole batch. None when the library is
+    unavailable or a non-JPEG path appears."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tm_decode_jpeg_batch_yuv420"):
+        return None
+    if not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        return None
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    bufs = (ctypes.POINTER(ctypes.c_ubyte) * n)()
+    ws = (ctypes.c_int * n)()
+    hs = (ctypes.c_int * n)()
+    lib.tm_decode_jpeg_batch_yuv420(c_paths, n, bufs, ws, hs, n_threads)
+    out: List[Optional[np.ndarray]] = []
+    try:
+        for i in range(n):
+            out.append(np.ctypeslib.as_array(
+                bufs[i], shape=(hs[i] * 3 // 2, ws[i])).copy()
+                if bufs[i] else None)
+    finally:
+        for i in range(n):
+            if bufs[i]:
+                lib.tm_free(bufs[i])
+    return out
 
 
 def decode_batch_native(paths: List[str], n_threads: int = 4,
