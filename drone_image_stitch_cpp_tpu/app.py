@@ -260,6 +260,35 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                 # stitch_app.cpp:215-217 — ~110 s of idle device on the
                 # 200-frame sortie); errors resurface at join() below
                 writer = BackgroundWriter()
+
+                # independent per-strip stitches round-robin over the mesh
+                # devices (the reference loops strips serially on one
+                # accelerator, stitch_app.cpp:202-221): strip gi's
+                # uncommitted placements default to device gi % N, so
+                # consecutive strips' device programs overlap across chips
+                # while the host orchestrates. Store-resident frames stay
+                # committed where they were ingested (computation follows
+                # the committed data); results are placement-invariant —
+                # tests/test_parallel.py asserts 1-dev == N-dev equality.
+                # The device pin re-checks `mesh` on every attempt: after a
+                # mid-run degrade (_on_degrade clears the mesh) the retry
+                # must NOT re-enter the dead accelerator's context.
+                from contextlib import nullcontext
+
+                def _stitch_one(gi, g, imgs, tags):
+                    if mesh is not None:
+                        import jax
+                        devs = list(mesh.devices.flat)
+                        ctx = jax.default_device(devs[gi % len(devs)])
+                    else:
+                        ctx = nullcontext()
+                    with ctx:
+                        return stitch_strip(
+                            imgs, strip_tuning, stage=f"Strip{gi}",
+                            range_width_override=tuning.range_width,
+                            image_tags=tags, mesh=mesh, store=store,
+                            indices=list(g.indices))
+
                 for gi, g in enumerate(groups):
                     imgs = (None if images is None
                             else [images[k] for k in g.indices])
@@ -267,11 +296,8 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                     with log.timer(f"Strip{gi}", "stitch"):
                         pano = run_stage_with_retry(
                             f"Strip{gi}",
-                            lambda: stitch_strip(
-                                imgs, strip_tuning, stage=f"Strip{gi}",
-                                range_width_override=tuning.range_width,
-                                image_tags=tags, mesh=mesh, store=store,
-                                indices=list(g.indices)),
+                            lambda gi=gi, g=g, imgs=imgs, tags=tags:
+                                _stitch_one(gi, g, imgs, tags),
                             on_degrade=_on_degrade)
                     with log.timer(f"Strip{gi}", "crop"):
                         pano = auto_crop_black_border(pano)

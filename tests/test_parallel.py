@@ -85,6 +85,32 @@ def test_app_registration_device_count_invariant():
     assert np.abs(tr1 - tr8).max() < 1e-4, np.abs(tr1 - tr8).max()
 
 
+def test_strip_stitch_device_placement_invariant():
+    """Per-strip device round-robin (app.py strip loop): a strip stitched
+    under ANY mesh device's default placement must produce the identical
+    panorama — placement changes scheduling, never values."""
+    from drone_image_stitch_cpp_tpu.config.tuning import StitchTuning
+    from drone_image_stitch_cpp_tpu.parallel.mesh import make_mesh
+    from drone_image_stitch_cpp_tpu.pipeline.strip import stitch_strip
+    from drone_image_stitch_cpp_tpu.utils.synthetic import synthetic_ortho
+
+    ortho = synthetic_ortho(h=200, w=420, seed=5)
+    imgs = [ortho[20:180, 40 * i:40 * i + 208].astype(np.uint8)
+            for i in range(4)]
+    tuning = StitchTuning(sift_features=192, registration_resol_mpx=-1.0,
+                          seam_estimation_resol_mpx=-1.0, blend_bands=2)
+    mesh = make_mesh(8, platform="cpu")
+    devs = list(mesh.devices.flat)
+    outs = []
+    for d in (devs[0], devs[5]):
+        with jax.default_device(d):
+            outs.append(stitch_strip([im.copy() for im in imgs], tuning,
+                                     stage="T", seed=1))
+    assert outs[0].shape == outs[1].shape
+    assert np.array_equal(outs[0], outs[1]), np.abs(
+        outs[0].astype(int) - outs[1].astype(int)).max()
+
+
 def test_tiled_compose_sharded_matches_single_device(ortho):
     """mb_compose_tiled's independent tiles distributed over the mesh must
     produce the identical mosaic byte-for-byte (round-robin placement +
