@@ -79,6 +79,9 @@ def main():
                     help="only the tiny CI config")
     ap.add_argument("--only", choices=sorted(CONFIGS),
                     help="run a single named config")
+    ap.add_argument("--json-out", default=None,
+                    help="also write all results (+ commit hash) to FILE — "
+                         "the per-round PARITY_r{N}.json artifact")
     args = ap.parse_args()
 
     if args.only:
@@ -86,8 +89,23 @@ def main():
     else:
         names = (["tiny-8f"] if args.tiny
                  else ["10-frame"] + (["45-frame"] if args.full else []))
+    results = []
     for name in names:
-        print(json.dumps(run_config(name, args.work)))
+        out = run_config(name, args.work)
+        results.append(out)
+        print(json.dumps(out))
+    if args.json_out:
+        import subprocess
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except (subprocess.CalledProcessError, OSError):
+            commit = None
+        with open(args.json_out, "w") as f:
+            json.dump({"commit": commit, "results": results}, f, indent=1)
+        log(f"[parity] wrote {args.json_out}")
 
 
 if __name__ == "__main__":

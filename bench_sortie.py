@@ -32,12 +32,58 @@ from tools.sortie_bench import (gt_rmse, log, make_sortie, run_ours,
 
 
 def peak_hbm_gb():
+    """Peak device memory of the run (runtime/hbm.py watermark).
+
+    Prefers the allocator's peak_bytes_in_use when the backend exposes it;
+    through the axon relay (memory_stats() -> None) it is the high-water
+    of live client-visible device buffers sampled at stage boundaries and
+    per compose tile — a lower bound (in-dispatch temporaries invisible).
+    The meter used is recorded alongside the number.
+    """
+    try:
+        from drone_image_stitch_cpp_tpu.runtime import hbm
+        p = hbm.peak()
+        if p["peak_bytes"] > 0:
+            return round(p["peak_gb"], 2), p["meter"], p["tag"]
+    except Exception:
+        pass
     try:
         import jax
         st = jax.local_devices()[0].memory_stats()
-        return round(st.get("peak_bytes_in_use", 0) / 2 ** 30, 2)
+        return (round(st.get("peak_bytes_in_use", 0) / 2 ** 30, 2),
+                "allocator", "")
     except Exception:
+        return None, None, None
+
+
+def _git_commit():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except (subprocess.CalledProcessError, OSError):
         return None
+
+
+def _stage_split(records):
+    """Aggregate the run's `... done seconds=` records into a per-stage
+    wall-clock map (strips summed; the per-strip warm/cold spread is in
+    the raw log)."""
+    out = {}
+    for r in records:
+        if "seconds" not in r:
+            continue
+        stage = r["stage"]
+        msg = r["msg"].replace(" done", "")
+        if stage.startswith("Strip"):
+            key = f"strips:{msg}"
+        else:
+            key = f"{stage}:{msg}"
+        out[key] = round(out.get(key, 0.0) + r["seconds"], 1)
+    return out
 
 
 def main():
@@ -48,6 +94,10 @@ def main():
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--ref-timeout", type=float, default=14400)
+    ap.add_argument("--runs", type=int, default=1,
+                    help="measured end-to-end runs of ours at this commit; "
+                         "the recorded secs_ours is the MEDIAN and every "
+                         "run's wall/GT-RMSE/stage split is kept")
     args = ap.parse_args()
 
     root, gt_path = make_sortie(args.work, rows=args.frames_rows,
@@ -55,20 +105,40 @@ def main():
                                 frame_h=2160, frame_w=3840)
     gt = np.load(gt_path)
     out = {"frames": args.frames_rows * args.frames_cols,
-           "frame": "2160x3840", "overlap": "0.70/0.35"}
+           "frame": "2160x3840", "overlap": "0.70/0.35",
+           "commit": _git_commit()}
 
     if not args.skip_ours:
         import jax
+        from drone_image_stitch_cpp_tpu.runtime import hbm
+        from drone_image_stitch_cpp_tpu.runtime.logging import get_logger
         out["backend"] = jax.default_backend()
-        secs, mosaic, rc = run_ours(root, f"{root}/_ours", retries=2)
-        if rc != 0 or mosaic is None:
-            raise SystemExit(f"[sortie] our run failed rc={rc}")
-        r, _, _ = gt_rmse(mosaic, gt, max_dim=6000)
-        out.update(secs_ours=round(secs, 1), gt_rmse_ours=round(r, 3),
+        runs = []
+        for k in range(max(1, args.runs)):
+            hbm.reset()
+            rec0 = len(get_logger()._records)
+            secs, mosaic, rc = run_ours(root, f"{root}/_ours", retries=2)
+            if rc != 0 or mosaic is None:
+                raise SystemExit(f"[sortie] our run failed rc={rc}")
+            r, _, _ = gt_rmse(mosaic, gt, max_dim=6000)
+            hbm_gb, hbm_meter, hbm_tag = peak_hbm_gb()
+            runs.append(dict(
+                secs=round(secs, 1), gt_rmse=round(r, 3),
+                stages=_stage_split(get_logger()._records[rec0:]),
+                peak_hbm_gb=hbm_gb, hbm_meter=hbm_meter,
+                hbm_peak_at=hbm_tag))
+            log(f"[sortie] ours run {k + 1}/{args.runs}: {secs:.1f}s "
+                f"gt_rmse={r:.2f} mosaic={mosaic.shape} hbm={hbm_gb} "
+                f"({hbm_meter} @ {hbm_tag})")
+        med = sorted(rn["secs"] for rn in runs)[(len(runs) - 1) // 2]
+        med_run = next(rn for rn in runs if rn["secs"] == med)
+        out.update(secs_ours=med, secs_ours_runs=[rn["secs"] for rn in runs],
+                   gt_rmse_ours=med_run["gt_rmse"],
                    mosaic_hw=list(mosaic.shape[:2]),
-                   peak_hbm_gb=peak_hbm_gb())
-        log(f"[sortie] ours: {secs:.1f}s gt_rmse={r:.2f} "
-            f"mosaic={mosaic.shape} hbm={out['peak_hbm_gb']}")
+                   peak_hbm_gb=med_run["peak_hbm_gb"],
+                   hbm_meter=med_run["hbm_meter"],
+                   hbm_peak_at=med_run["hbm_peak_at"],
+                   runs=runs)
 
     if not args.skip_ref:
         secs, mosaic, rc = run_reference(root, timeout=args.ref_timeout)
@@ -92,8 +162,9 @@ def main():
                 prior = json.load(f)
         except (OSError, json.JSONDecodeError):
             prior = {}
-    for k in ("secs_ours", "gt_rmse_ours", "mosaic_hw", "peak_hbm_gb",
-              "backend", "secs_ref", "gt_rmse_ref", "ref_rc"):
+    for k in ("secs_ours", "secs_ours_runs", "gt_rmse_ours", "mosaic_hw",
+              "peak_hbm_gb", "hbm_meter", "hbm_peak_at", "backend", "runs",
+              "secs_ref", "gt_rmse_ref", "ref_rc"):
         if k not in out and k in prior:
             out[k] = prior[k]
     if out.get("secs_ref") and out.get("secs_ours") \

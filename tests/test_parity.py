@@ -35,3 +35,19 @@ def test_parity_tiny_vs_reference(tmp_path):
     # parity target: match or beat the reference's accuracy (ratio <= 1;
     # BASELINE.json demands px-RMSE parity, tracked as the GT-RMSE ratio)
     assert out["ratio"] <= 1.0, out
+
+
+def test_parity_10frame_ratchet(tmp_path):
+    """Accuracy RATCHET at realistic scale (heavy tier): the 10-frame
+    2-strip 960x1280 config (BASELINE.json #2 shape) must keep beating the
+    reference with margin. Round-3 measured ratio 0.72 (PARITY_r03.json);
+    the ratchet asserts <= 0.85 so a real accuracy regression fails CI
+    instead of waiting for a judge's manual read."""
+    if not _reference_available():
+        pytest.skip("C++ reference does not build on this host")
+    from bench_parity import run_config
+
+    out = run_config("10-frame", str(tmp_path))
+    assert out["ref_rc"] == 0, out
+    assert out["ratio"] is not None, out
+    assert out["ratio"] <= 0.85, out
