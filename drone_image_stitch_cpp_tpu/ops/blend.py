@@ -262,7 +262,8 @@ def mb_tile_grid(canvas_h: int, canvas_w: int, bands: int,
 def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                      frame_boxes, feed_tile, tile: int | None = None,
                      devices=None, on_frame_retired=None,
-                     feed_tile_many=None, on_rows=None):
+                     feed_tile_many=None, on_rows=None,
+                     want_bbox: bool = False):
     """Stream a multiband blend through canvas tiles (HBM-bounded).
 
     ``frame_boxes``: per-frame (x0, y0, x1, y1) canvas-space bounds (host
@@ -296,6 +297,12 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
     finished ``out[y0:y1]`` view (never written again). Callers stream
     the mosaic out (e.g. incremental JPEG encode) while later tile rows
     are still blending on device.
+
+    ``want_bbox``: also return the mosaic's autocrop bbox (y0, y1, x0,
+    x1), exclusive upper bounds, assembled from per-tile device-side
+    content flags (fixed-point gray > 1, the reference's test) — the
+    caller's crop becomes a pure numpy slice instead of a host gray pass.
+    Returns (mosaic, bbox) with bbox None when the canvas has no content.
     """
     import contextlib
 
@@ -334,14 +341,27 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
             on_rows(y0, y1, out[y0:y1])
             next_band[0] += 1
 
+    bbox = [canvas_h, -1, canvas_w, -1]     # y0, y1, x0, x1 accumulator
+
     def materialize(entry):
         # fetch uint8, not float32, and only the (snapped) core window —
         # the host link is the compose bottleneck and the ext halo is
         # ~30% extra bytes (see _blend_u8_core). (oy, ox) is the fetched
         # window's canvas origin.
-        t_idx, cy0, cy1, cx0, cx1, oy, ox, img = entry
+        t_idx, cy0, cy1, cx0, cx1, oy, ox, (img, rows_any, cols_any) = entry
         a = np.asarray(img)
         out[cy0:cy1, cx0:cx1] = a[cy0 - oy:cy1 - oy, cx0 - ox:cx1 - ox]
+        if want_bbox:
+            # content flags trimmed to the core (exact there; the snap
+            # margin belongs to neighbor tiles)
+            ra = np.asarray(rows_any)[cy0 - oy:cy1 - oy]
+            ca = np.asarray(cols_any)[cx0 - ox:cx1 - ox]
+            if ra.any():
+                bbox[0] = min(bbox[0], cy0 + int(np.argmax(ra)))
+                bbox[1] = max(bbox[1], cy1 - int(np.argmax(ra[::-1])))
+            if ca.any():
+                bbox[2] = min(bbox[2], cx0 + int(np.argmax(ca)))
+                bbox[3] = max(bbox[3], cx1 - int(np.argmax(ca[::-1])))
         _band_done(t_idx)
 
     for t_idx, (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in \
@@ -369,9 +389,11 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                 crop_w = min(align_up(cx1 - cx0, 256), ew)
                 crop_y = min(cy0 - ey0, eh - crop_h)
                 crop_x = min(cx0 - ex0, ew - crop_w)
-                pending.append((t_idx, cy0, cy1, cx0, cx1, ey0 + crop_y,
-                                ex0 + crop_x,
+                oy, ox = ey0 + crop_y, ex0 + crop_x
+                pending.append((t_idx, cy0, cy1, cx0, cx1, oy, ox,
                                 _blend_u8_core(canvas_t, crop_y, crop_x,
+                                               cy0 - oy, cx0 - ox,
+                                               cy1 - cy0, cx1 - cx0,
                                                out_h=eh, out_w=ew,
                                                crop_h=crop_h,
                                                crop_w=crop_w)))
@@ -390,6 +412,9 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
             materialize(pending.pop(0))
     for entry in pending:
         materialize(entry)
+    if want_bbox:
+        has = bbox[1] > bbox[0] and bbox[3] > bbox[2]
+        return out, (tuple(bbox) if has else None)
     return out
 
 
@@ -412,18 +437,37 @@ def _blend_u8(canvas: MultiBandCanvas, *, out_h: int, out_w: int):
 
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("out_h", "out_w", "crop_h", "crop_w"))
-def _blend_u8_core(canvas: MultiBandCanvas, crop_y, crop_x, *, out_h: int,
-                   out_w: int, crop_h: int, crop_w: int):
+def _blend_u8_core(canvas: MultiBandCanvas, crop_y, crop_x, core_y, core_x,
+                   core_h, core_w, *, out_h: int, out_w: int, crop_h: int,
+                   crop_w: int):
     """_blend_u8 followed by a device-side core crop.
 
     The caller fetches only the tile CORE (the ext window's halo is ~30%
-    extra bytes over the ~50 MB/s relay link). Crop offsets are traced;
-    crop dims are snapped by the caller so the handful of (crop_h,
-    crop_w) buckets reuse compiled programs."""
+    extra bytes over the relay link). Crop offsets are traced; crop dims
+    are snapped by the caller so the handful of (crop_h, crop_w) buckets
+    reuse compiled programs.
+
+    Also returns the window's content row/col flags (fixed-point BT.601
+    gray > 1, the reference's autocrop test, stitch_common.cpp:9): two
+    tiny bool vectors per tile that let the caller assemble the exact
+    autocrop bbox WITHOUT a host-side gray pass over the mosaic (~5-10 s
+    of 1-core numpy per strip panorama, serialized against the background
+    JPEG encoder)."""
     img, _ = mb_blend(canvas, out_h, out_w)
     u8 = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
-    return jax.lax.dynamic_slice(u8, (crop_y, crop_x, 0),
-                                 (crop_h, crop_w, 3))
+    win = jax.lax.dynamic_slice(u8, (crop_y, crop_x, 0),
+                                (crop_h, crop_w, 3))
+    b, g, r = (win[..., 0].astype(jnp.uint32),
+               win[..., 1].astype(jnp.uint32),
+               win[..., 2].astype(jnp.uint32))
+    content = ((29 * b + 150 * g + 77 * r + 128) >> 8) > 1
+    # flags restricted to the CORE sub-window (exact values; the snap
+    # margin is only halo-approximate), window-relative traced offsets
+    ri = jnp.arange(crop_h)
+    ci = jnp.arange(crop_w)
+    content &= ((ri >= core_y) & (ri < core_y + core_h))[:, None]
+    content &= ((ci >= core_x) & (ci < core_x + core_w))[None, :]
+    return win, jnp.any(content, axis=1), jnp.any(content, axis=0)
 
 
 def mb_blend(canvas: MultiBandCanvas, out_h: int, out_w: int):

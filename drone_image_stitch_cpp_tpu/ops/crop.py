@@ -45,18 +45,29 @@ def auto_crop_black_border(img_np: np.ndarray, thresh: float = 1.0
     are trivially bandwidth-bound — shipping a gigabyte-scale mosaic back
     to the device over the remote relay just to find a bbox costs minutes.
     """
-    if img_np.ndim == 3:
-        # fixed-point BT.601 gray (cv::cvtColor uses the same 8-bit
-        # fixed-point path), NOT an any-channel test: a (2,0,0) border
-        # pixel has gray 0.23 and must be cropped like the reference's
-        # gray>thresh does (stitch_common.cpp:9)
-        b, g, r = (img_np[..., 0].astype(np.uint32),
-                   img_np[..., 1].astype(np.uint32),
-                   img_np[..., 2].astype(np.uint32))
-        gray = (29 * b + 150 * g + 77 * r + 128) >> 8
-        mask = gray > thresh
-    else:
-        mask = img_np > thresh
+    def gray_mask(a):
+        if a.ndim == 3:
+            # fixed-point BT.601 gray (cv::cvtColor uses the same 8-bit
+            # fixed-point path), NOT an any-channel test: a (2,0,0) border
+            # pixel has gray 0.23 and must be cropped like the reference's
+            # gray>thresh does (stitch_common.cpp:9)
+            b, g, r = (a[..., 0].astype(np.uint32),
+                       a[..., 1].astype(np.uint32),
+                       a[..., 2].astype(np.uint32))
+            return ((29 * b + 150 * g + 77 * r + 128) >> 8) > thresh
+        return a > thresh
+
+    # fast path: every border edge already carries content => the bbox is
+    # the full frame (pre-cropped inputs — e.g. the tiled strip compose
+    # crops from device-computed content flags); O(perimeter) vs a full
+    # gray pass over a ~60 MP panorama on this 1-core host
+    if img_np.shape[0] > 2 and img_np.shape[1] > 2 and \
+            gray_mask(img_np[0]).any() and gray_mask(img_np[-1]).any() \
+            and gray_mask(img_np[:, 0]).any() \
+            and gray_mask(img_np[:, -1]).any():
+        return np.ascontiguousarray(img_np)
+
+    mask = gray_mask(img_np)
     rows = mask.any(axis=1)
     cols = mask.any(axis=0)
     if not rows.any():

@@ -393,17 +393,40 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     log.log("GlobalCustom", "seam scale", scale=round(seam_scale, 4),
             h=sh, w=sw)
 
-    to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
+    # Warping straight from the full-res padded strip costs ~4 s/strip on
+    # the relay TPU (an XLA gather over a ~67 MP source, with ~7x
+    # minification aliasing to boot — measured 72 s for this loop on the
+    # 200-frame flagship); area-downscaling the strip to seam scale FIRST
+    # (reduction-structured, fast) and warping from the ~1.4 MP result is
+    # an order of magnitude cheaper and anti-aliased. The reference
+    # likewise seam-finds on resized images, not full-res warps
+    # (stitch_global.cpp:601-603). Content semantics match the old path
+    # to <1 seam-px at edges: the full-res >2-gray mask area-averages to
+    # fractional coverage, binarized at full coverage (0.999) before the
+    # footprint-thresholded mask warp.
+    hp_s = max(1, int(round(hp_ * seam_scale)))
+    wp_s = max(1, int(round(wp_ * seam_scale)))
+    s_x, s_y = wp_s / wp_, hp_s / hp_
+
+    @jax.jit
+    def _to_seam(strip_u8, t_small):
+        img32 = strip_u8.astype(jnp.float32)
+        small = resize_area(img32, hp_s, wp_s)
+        cov = resize_area(nonblack_mask(img32, 2.0).astype(jnp.float32),
+                          hp_s, wp_s)
+        simg = warp_affine(small, t_small, sh, sw)
+        smask = warp_content_mask(cov >= 0.999, t_small, sh, sw,
+                                  footprint_thresh=0.999)
+        return simg, smask
 
     seam_imgs, seam_masks = [], []
     for i in range(n):
-        ts = jnp.asarray((ssc @ t_canvas[i]).astype(np.float32))
-        img32 = to_f32(dev_strips[i])
-        seam_imgs.append(warp_affine(img32, ts, sh, sw))
-        seam_masks.append(warp_content_mask(
-            nonblack_mask(img32, 2.0), ts, sh, sw,
-            footprint_thresh=0.999))
-        del img32
+        tsm = (ssc @ t_canvas[i]).astype(np.float32).copy()
+        tsm[:, 0] /= s_x            # pre-scaled source -> seam canvas
+        tsm[:, 1] /= s_y
+        simg, smask = _to_seam(dev_strips[i], jnp.asarray(tsm))
+        seam_imgs.append(simg)
+        seam_masks.append(smask)
 
     t_seamwarp = time.perf_counter()
     from ..runtime import hbm

@@ -414,11 +414,20 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
                        for b in boxes]
         with log.timer(stage, "tiled blend"):
-            return B.mb_compose_tiled(
+            out, bbox = B.mb_compose_tiled(
                 canvas_h, canvas_w, bands, frame_boxes, feed_roi,
                 devices=(list(mesh.devices.flat) if mesh is not None
                          else None),
-                feed_tile_many=(feed_many if uniform else None))
+                feed_tile_many=(feed_many if uniform else None),
+                want_bbox=True)
+        # autocrop via the per-tile device content flags: a pure numpy
+        # slice here, and the app's auto_crop_black_border becomes a
+        # border check instead of a 1-core gray pass over ~60 MP that
+        # serialized against the background JPEG encoder
+        if bbox is not None and bbox != (0, canvas_h, 0, canvas_w):
+            by0, by1, bx0, bx1 = bbox
+            out = np.ascontiguousarray(out[by0:by1, bx0:bx1])
+        return out
 
     with log.timer(stage, "blend"):
         canvas = B.mb_prepare(canvas_h, canvas_w, bands)
@@ -427,7 +436,10 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
                               canvas.wacc[0].shape[0],
                               canvas.wacc[0].shape[1])
         out, valid = B.mb_blend(canvas, canvas_h, canvas_w)
-        return np.asarray(B.clip_u8(out))
+        # same contract as the tiled path: the returned strip panorama is
+        # autocropped (small canvases — the host gray pass is cheap here)
+        from ..ops.crop import auto_crop_black_border
+        return auto_crop_black_border(np.asarray(B.clip_u8(out)))
 
 
 def stitch_strip(images: List[np.ndarray],
