@@ -201,12 +201,29 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         # state on the dead accelerator (FrameStore chunks, the mesh) is
         # dropped first; host copies rebuild it on the retry.
         from .runtime.device import run_stage_with_retry
+        from .runtime.handoff import DeviceStrip, as_host_strips
+
+        strip_panos: List = []
+
+        def _strips_to_host(panos: List) -> None:
+            """Degrade support: device-resident strips must leave the
+            (possibly dead) accelerator before a CPU retry. Prefer the
+            cached host copy (the background JPEG save usually fetched it
+            already); fall back to a live fetch — if THAT also fails the
+            stage retry surfaces the original fault."""
+            for k, p in enumerate(panos):
+                if isinstance(p, DeviceStrip):
+                    cached = p.host_cached()
+                    panos[k] = cached if cached is not None else p.host()
 
         def _on_degrade():
             nonlocal mesh
             mesh = None
             if store is not None:
                 store.clear()
+            _strips_to_host(strip_panos)
+            if strips_done is not None:
+                _strips_to_host(strips_done)
 
         ckpt_dir = os.path.join(cfg.output_dir, "strips")
         writer = None
@@ -253,7 +270,6 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
             if len(groups) > 1:
                 strip_tuning = tuning.replace(
                     sift_features=tuning.strip_sift_features)
-                strip_panos = []
                 # strip JPEGs + the resume checkpoint encode on a worker
                 # thread while the device stitches the NEXT strip (the
                 # reference encodes each strip serially before moving on,
@@ -287,7 +303,7 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                             imgs, strip_tuning, stage=f"Strip{gi}",
                             range_width_override=tuning.range_width,
                             image_tags=tags, mesh=mesh, store=store,
-                            indices=list(g.indices))
+                            indices=list(g.indices), return_device=True)
 
                 for gi, g in enumerate(groups):
                     imgs = (None if images is None
@@ -299,13 +315,27 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                             lambda gi=gi, g=g, imgs=imgs, tags=tags:
                                 _stitch_one(gi, g, imgs, tags),
                             on_degrade=_on_degrade)
-                    with log.timer(f"Strip{gi}", "crop"):
-                        pano = auto_crop_black_border(pano)
+                    if not isinstance(pano, DeviceStrip):
+                        # host-array results (small canvases, sequential
+                        # fallback) still need the host crop; DeviceStrip
+                        # panoramas carry their device-computed bbox
+                        with log.timer(f"Strip{gi}", "crop"):
+                            pano = auto_crop_black_border(pano)
                     strip_panos.append(pano)
                     if cfg.save_strips:
-                        writer.submit(_write_image, os.path.join(
-                            ckpt_dir, f"strip_{gi:02d}.jpg"), pano)
-                writer.submit(save_strip_checkpoint, ckpt_dir, strip_panos)
+                        # DeviceStrip.host() fetches on the WRITER thread:
+                        # the packed-I420 strip download overlaps the next
+                        # strip's device compute instead of serializing
+                        # inside the stitch loop
+                        writer.submit(
+                            lambda path, p: _write_image(
+                                path, p.host() if isinstance(p, DeviceStrip)
+                                else p),
+                            os.path.join(ckpt_dir, f"strip_{gi:02d}.jpg"),
+                            pano)
+                writer.submit(
+                    lambda: save_strip_checkpoint(
+                        ckpt_dir, as_host_strips(strip_panos)))
                 strips_done = strip_panos
             else:
                 # single-group path (stitch_app.cpp:246-260)
@@ -333,6 +363,8 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         sink = None
         if len(strips_done) == 1:
             panorama = strips_done[0]
+            if isinstance(panorama, DeviceStrip):
+                panorama = panorama.host()
         else:
             # global tuning overrides (stitch_app.cpp:227-239)
             global_tuning = tuning.replace(

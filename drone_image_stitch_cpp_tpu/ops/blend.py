@@ -263,7 +263,8 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                      frame_boxes, feed_tile, tile: int | None = None,
                      devices=None, on_frame_retired=None,
                      feed_tile_many=None, on_rows=None,
-                     want_bbox: bool = False):
+                     want_bbox: bool = False, assemble: str = "host",
+                     fetch_packed: bool = False):
     """Stream a multiband blend through canvas tiles (HBM-bounded).
 
     ``frame_boxes``: per-frame (x0, y0, x1, y1) canvas-space bounds (host
@@ -303,6 +304,19 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
     content flags (fixed-point gray > 1, the reference's test) — the
     caller's crop becomes a pure numpy slice instead of a host gray pass.
     Returns (mosaic, bbox) with bbox None when the canvas has no content.
+
+    ``assemble="device"``: never fetch pixel data — blended tile cores
+    commit into a DEVICE-resident uint8 canvas (dims snapped up to the
+    ext grid) and the return is (device_canvas, bbox): the strip stage
+    hands its panorama straight to the global compose without the
+    ~90 s/sortie host round-trip (fetch here + re-upload there) the
+    host path pays on the ~25 MB/s relay. Single-device (the caller's
+    current default device); ``devices``/``on_rows`` are ignored.
+
+    ``fetch_packed`` (host assembly): fetch tile windows as packed I420
+    (ops/color.bgr_to_yuv420) — half the bytes over the relay link — and
+    unpack with cv2 on host. Windows whose snapped dims break the 4|H,
+    2|W packing contract fall back to raw BGR fetches.
     """
     import contextlib
 
@@ -310,6 +324,10 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
 
     bands = tiled_bands(canvas_h, canvas_w, bands, tile)
     tiles, _ = mb_tile_grid(canvas_h, canvas_w, bands, tile)
+    if assemble == "device":
+        return _mb_compose_tiled_device(canvas_h, canvas_w, bands, tiles,
+                                        frame_boxes, feed_tile,
+                                        feed_tile_many)
     out = np.zeros((canvas_h, canvas_w, 3), np.uint8)
     devices = list(devices) if devices is not None else [None]
     # in-flight cap = device count: each pending entry keeps a whole
@@ -348,8 +366,12 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
         # the host link is the compose bottleneck and the ext halo is
         # ~30% extra bytes (see _blend_u8_core). (oy, ox) is the fetched
         # window's canvas origin.
-        t_idx, cy0, cy1, cx0, cx1, oy, ox, (img, rows_any, cols_any) = entry
+        (t_idx, cy0, cy1, cx0, cx1, oy, ox, packed,
+         (img, rows_any, cols_any)) = entry
         a = np.asarray(img)
+        if packed:  # I420 wire format: half the fetch bytes
+            import cv2
+            a = cv2.cvtColor(a, cv2.COLOR_YUV2BGR_I420)
         out[cy0:cy1, cx0:cx1] = a[cy0 - oy:cy1 - oy, cx0 - ox:cx1 - ox]
         if want_bbox:
             # content flags trimmed to the core (exact there; the snap
@@ -390,13 +412,16 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
                 crop_y = min(cy0 - ey0, eh - crop_h)
                 crop_x = min(cx0 - ex0, ew - crop_w)
                 oy, ox = ey0 + crop_y, ex0 + crop_x
-                pending.append((t_idx, cy0, cy1, cx0, cx1, oy, ox,
+                packed = (fetch_packed and crop_h % 4 == 0
+                          and crop_w % 2 == 0)
+                pending.append((t_idx, cy0, cy1, cx0, cx1, oy, ox, packed,
                                 _blend_u8_core(canvas_t, crop_y, crop_x,
                                                cy0 - oy, cx0 - ox,
                                                cy1 - cy0, cx1 - cx0,
                                                out_h=eh, out_w=ew,
                                                crop_h=crop_h,
-                                               crop_w=crop_w)))
+                                               crop_w=crop_w,
+                                               pack=packed)))
             else:
                 _band_done(t_idx)  # empty tile: rows are final zeros
         if fed:
@@ -435,17 +460,17 @@ def _blend_u8(canvas: MultiBandCanvas, *, out_h: int, out_w: int):
     return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("out_h", "out_w", "crop_h", "crop_w"))
-def _blend_u8_core(canvas: MultiBandCanvas, crop_y, crop_x, core_y, core_x,
-                   core_h, core_w, *, out_h: int, out_w: int, crop_h: int,
-                   crop_w: int):
+def _blend_u8_core_body(canvas: MultiBandCanvas, crop_y, crop_x, core_y,
+                        core_x, core_h, core_w, *, out_h: int, out_w: int,
+                        crop_h: int, crop_w: int, pack: bool = False):
     """_blend_u8 followed by a device-side core crop.
 
     The caller fetches only the tile CORE (the ext window's halo is ~30%
     extra bytes over the relay link). Crop offsets are traced; crop dims
     are snapped by the caller so the handful of (crop_h, crop_w) buckets
-    reuse compiled programs.
+    reuse compiled programs. ``pack`` returns the window as packed I420
+    (ops/color.bgr_to_yuv420, half the fetch bytes; flags are computed
+    from the BGR pixels BEFORE the pack).
 
     Also returns the window's content row/col flags (fixed-point BT.601
     gray > 1, the reference's autocrop test, stitch_common.cpp:9): two
@@ -467,7 +492,110 @@ def _blend_u8_core(canvas: MultiBandCanvas, crop_y, crop_x, core_y, core_x,
     ci = jnp.arange(crop_w)
     content &= ((ri >= core_y) & (ri < core_y + core_h))[:, None]
     content &= ((ci >= core_x) & (ci < core_x + core_w))[None, :]
+    if pack:
+        from .color import bgr_to_yuv420
+        win = bgr_to_yuv420(win)
     return win, jnp.any(content, axis=1), jnp.any(content, axis=0)
+
+
+_blend_u8_core = functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("out_h", "out_w", "crop_h", "crop_w",
+                     "pack"))(_blend_u8_core_body)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("out_h", "out_w", "crop_h", "crop_w"))
+def _blend_commit_core(canvas: MultiBandCanvas, dev_out, crop_y, crop_x,
+                       core_y, core_x, core_h, core_w, oy, ox, *,
+                       out_h: int, out_w: int, crop_h: int, crop_w: int):
+    """_blend_u8_core that COMMITS the core into a device canvas.
+
+    ``dev_out``: (CH, CW, 3) uint8 device canvas (donated). The blended
+    window is written at canvas origin (oy, ox) but only inside the core
+    sub-window [core_y, core_y+core_h) x [core_x, core_x+core_w) —
+    outside it the existing canvas values are kept (the snap margin
+    belongs to neighbor tiles, where the halo guarantee doesn't hold).
+    Pixels never cross the host link; the strip stage's panorama stays
+    device-resident for the global compose (runtime/handoff.py)."""
+    win, rows_any, cols_any = _blend_u8_core_body(
+        canvas, crop_y, crop_x, core_y, core_x, core_h, core_w,
+        out_h=out_h, out_w=out_w, crop_h=crop_h, crop_w=crop_w)
+    cur = jax.lax.dynamic_slice(dev_out, (oy, ox, 0),
+                                (crop_h, crop_w, 3))
+    ri = jnp.arange(crop_h)
+    ci = jnp.arange(crop_w)
+    core = (((ri >= core_y) & (ri < core_y + core_h))[:, None]
+            & ((ci >= core_x) & (ci < core_x + core_w))[None, :])
+    dev_out = jax.lax.dynamic_update_slice(
+        dev_out, jnp.where(core[..., None], win, cur), (oy, ox, 0))
+    return dev_out, rows_any, cols_any
+
+
+def _mb_compose_tiled_device(canvas_h: int, canvas_w: int, bands: int,
+                             tiles, frame_boxes, feed_tile,
+                             feed_tile_many):
+    """Device-assembly variant of mb_compose_tiled (assemble="device").
+
+    Returns (dev_canvas, bbox): ``dev_canvas`` is a (CH, CW, 3) uint8
+    DEVICE array with CH/CW the ext-snapped canvas dims (content in
+    [0, canvas_h) x [0, canvas_w), zeros beyond), ``bbox`` the exact
+    content box (y0, y1, x0, x1) or None. The only host fetch is one
+    concatenated flags vector at the end (~KBs)."""
+    import numpy as np
+
+    g = 1 << bands
+    ch_a = align_up(canvas_h, max(g, EXT_SNAP))
+    cw_a = align_up(canvas_w, max(g, EXT_SNAP))
+    dev_out = jnp.zeros((ch_a, cw_a, 3), jnp.uint8)
+    flag_entries = []   # (cy0, cy1, cx0, cx1, oy, ox, rows_any, cols_any)
+    for t_idx, (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in \
+            enumerate(tiles):
+        eh, ew = ey1 - ey0, ex1 - ex0
+        sel = [i for i, (fx0, fy0, fx1, fy1) in enumerate(frame_boxes)
+               if not (fx1 <= ex0 or fx0 >= ex1 or fy1 <= ey0
+                       or fy0 >= ey1)]
+        if not sel:
+            continue
+        canvas_t = mb_prepare(eh, ew, bands)
+        if feed_tile_many is not None:
+            canvas_t = feed_tile_many(canvas_t, sel, ey0, ex0, eh, ew)
+        else:
+            for i in sel:
+                canvas_t = feed_tile(canvas_t, i, ey0, ex0, eh, ew)
+        crop_h = min(align_up(cy1 - cy0, 256), eh)
+        crop_w = min(align_up(cx1 - cx0, 256), ew)
+        crop_y = min(cy0 - ey0, eh - crop_h)
+        crop_x = min(cx0 - ex0, ew - crop_w)
+        oy, ox = ey0 + crop_y, ex0 + crop_x
+        dev_out, rows_any, cols_any = _blend_commit_core(
+            canvas_t, dev_out, crop_y, crop_x, cy0 - oy, cx0 - ox,
+            cy1 - cy0, cx1 - cx0, oy, ox,
+            out_h=eh, out_w=ew, crop_h=crop_h, crop_w=crop_w)
+        flag_entries.append((cy0, cy1, cx0, cx1, oy, ox,
+                             rows_any, cols_any))
+        from ..runtime import hbm
+        hbm.sample(f"compose-tile{t_idx}")
+    bbox = [canvas_h, -1, canvas_w, -1]
+    if flag_entries:
+        # ONE host fetch for every tile's flags (each round-trip through
+        # the relay costs ~30-80 ms; a 70-tile sortie would pay seconds)
+        flat = np.asarray(jnp.concatenate(
+            [f for e in flag_entries for f in (e[6], e[7])]))
+        pos = 0
+        for cy0, cy1, cx0, cx1, oy, ox, ra_d, ca_d in flag_entries:
+            ra = flat[pos:pos + ra_d.shape[0]][cy0 - oy:cy1 - oy]
+            pos += ra_d.shape[0]
+            ca = flat[pos:pos + ca_d.shape[0]][cx0 - ox:cx1 - ox]
+            pos += ca_d.shape[0]
+            if ra.any():
+                bbox[0] = min(bbox[0], cy0 + int(np.argmax(ra)))
+                bbox[1] = max(bbox[1], cy1 - int(np.argmax(ra[::-1])))
+            if ca.any():
+                bbox[2] = min(bbox[2], cx0 + int(np.argmax(ca)))
+                bbox[3] = max(bbox[3], cx1 - int(np.argmax(ca[::-1])))
+    has = bbox[1] > bbox[0] and bbox[3] > bbox[2]
+    return dev_out, (tuple(bbox) if has else None)
 
 
 def mb_blend(canvas: MultiBandCanvas, out_h: int, out_w: int):

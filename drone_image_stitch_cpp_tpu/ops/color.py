@@ -87,6 +87,34 @@ def yuv420_to_bgr(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.stack([b, g, r], axis=-1), 0.0, 255.0)
 
 
+def bgr_to_yuv420(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) BGR uint8/f32 -> packed I420 (H*3/2, W) uint8. H % 4 == 0,
+    W % 2 == 0 (compose windows are 256-aligned).
+
+    The device->host counterpart of :func:`yuv420_to_bgr`: blended mosaics
+    and strip panoramas cross the ~25 MB/s relay link as 1.5 B/px instead
+    of 3, with box (2x2 mean) chroma downsampling — the same treatment
+    libjpeg's h2v2 downsampler applies during the JPEG encode these
+    fetches feed. The matrix is VIDEO-RANGE BT.601 (Y in [16, 235]),
+    the exact inverse of the host-side unpack cv2.COLOR_YUV2BGR_I420
+    (runtime/handoff.py) — unlike the INGEST direction, whose peer is
+    libjpeg's full-range JFIF math (:func:`yuv420_to_bgr`).
+    """
+    h, w = img.shape[0], img.shape[1]
+    f = img.astype(jnp.float32)
+    b, g, r = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.256788 * r + 0.504129 * g + 0.097906 * b + 16.0
+    cb = -0.148223 * r - 0.290993 * g + 0.439216 * b + 128.0
+    cr = 0.439216 * r - 0.367788 * g - 0.071427 * b + 128.0
+    # box-average chroma over 2x2 blocks, then ravel each (H/2, W/2) plane
+    # into W-wide rows (cv2 / libjpeg I420 layout)
+    cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    to_u8 = lambda p: jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
+    return jnp.concatenate([to_u8(y), to_u8(cb).reshape(h // 4, w),
+                            to_u8(cr).reshape(h // 4, w)], axis=0)
+
+
 def nonblack_mask(img: jnp.ndarray, thresh: float = 2.0) -> jnp.ndarray:
     """Mask of pixels whose gray level exceeds ``thresh``.
 

@@ -347,10 +347,18 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     # program; the pad is black, which the >2-nonblack content masks
     # exclude exactly like the reference's black wedges
     # (stitch_global.cpp:109-117), and canvas geometry keeps the TRUE dims.
-    shapes = [st.shape[:2] for st in strips]
+    # DeviceStrip inputs (runtime/handoff.py) are ALREADY in HBM from the
+    # strip stage — they re-pad on device and skip the upload entirely
+    # (~70-100 s for ten 4K-tall strips on the ~25 MB/s relay).
+    from ..runtime.handoff import DeviceStrip
+    shapes = [(tuple(st.hw) if isinstance(st, DeviceStrip)
+               else st.shape[:2]) for st in strips]
     hp_ = B.align_up(max(h for h, _ in shapes), _STRIP_BUCKET)
     wp_ = B.align_up(max(w for _, w in shapes), _STRIP_BUCKET)
-    dev_strips = [jnp.asarray(_pad_strip_u8(st, hp_, wp_))
+    home = jax.devices()[0]  # strip canvases may sit on other mesh chips
+    dev_strips = [st.device_padded(hp_, wp_, device=home)
+                  if isinstance(st, DeviceStrip)
+                  else jnp.asarray(_pad_strip_u8(st, hp_, wp_))
                   for st in strips]
     transforms, dev_strips, _flips = _align_strips_dev(
         dev_strips, shapes, tuning, seed)
@@ -574,7 +582,8 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
             canvas_h, canvas_w, bands, frame_boxes, feed_roi,
             devices=(list(mesh.devices.flat) if mesh is not None
                      else None), on_frame_retired=retire,
-            feed_tile_many=feed_many, on_rows=on_rows)
+            feed_tile_many=feed_many, on_rows=on_rows,
+            fetch_packed=True)
         if on_rows is not None:
             try:
                 hw = row_sink.finish()

@@ -194,7 +194,8 @@ def _axes_from_transforms(transforms: np.ndarray) -> List[str]:
 def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
                   tuning: StitchTuning, stage: str = "Strip",
                   mesh=None, store=None,
-                  indices: Optional[List[int]] = None) -> np.ndarray:
+                  indices: Optional[List[int]] = None,
+                  return_device: bool = False):
     """Warp + seam + gain + multiband blend at compositing resolution.
 
     ``transforms``: (N, 2, 3) frame->reference affines (full-res units).
@@ -205,6 +206,13 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     affine fast path (stitch_robust.cpp:203-205). ``mesh``: optional
     device mesh — tiled composes round-robin their independent tiles over
     it (ops/blend.mb_compose_tiled).
+
+    ``return_device=True`` (tiled path): the blended panorama stays in
+    HBM as a runtime.handoff.DeviceStrip — no pixel fetch at all. The
+    host copy (strip JPEG, checkpoint) is fetched lazily on the caller's
+    writer thread, and the global compose consumes the device canvas
+    directly instead of re-uploading ~1.7 GB of strips over the relay.
+    Small (non-tiled) canvases still return a host array.
     """
     log = get_logger()
     if images is None:
@@ -413,6 +421,20 @@ def compose_strip(images: List[np.ndarray], transforms: np.ndarray,
     if use_tiled:
         frame_boxes = [(b[0] - x0, b[1] - y0, b[2] - x0, b[3] - y0)
                        for b in boxes]
+        if return_device:
+            # panorama stays in HBM (runtime/handoff.DeviceStrip): tiles
+            # commit into a device canvas, ZERO pixel fetches here. Tiles
+            # stay on the caller's current default device — strip-level
+            # round-robin over the mesh is the parallel axis instead.
+            from ..runtime.handoff import DeviceStrip
+            with log.timer(stage, "tiled blend"):
+                dev_out, bbox = B.mb_compose_tiled(
+                    canvas_h, canvas_w, bands, frame_boxes, feed_roi,
+                    feed_tile_many=(feed_many if uniform else None),
+                    want_bbox=True, assemble="device")
+            if bbox is None:
+                raise StripStitchError(f"{stage}: blended canvas is empty")
+            return DeviceStrip(dev_out, bbox)
         with log.timer(stage, "tiled blend"):
             out, bbox = B.mb_compose_tiled(
                 canvas_h, canvas_w, bands, frame_boxes, feed_roi,
@@ -449,13 +471,19 @@ def stitch_strip(images: List[np.ndarray],
                  image_tags: Optional[Sequence[str]] = None,
                  matching_mask: Optional[np.ndarray] = None,
                  seed: int = 0, mesh=None, store=None,
-                 indices: Optional[List[int]] = None) -> np.ndarray:
+                 indices: Optional[List[int]] = None,
+                 return_device: bool = False):
     """Robust strip stitch with the reference's fallback ladder.
 
     Reference: stitchRobustly (stitch_robust.cpp:337-376): joint stitch
     first; on failure (and only when no matching mask was supplied,
     stitch_robust.cpp:360-364) fall back to sequential incremental
     stitching with an anchor window.
+
+    ``return_device=True``: large panoramas come back as a
+    runtime.handoff.DeviceStrip (HBM-resident; see compose_strip) —
+    small/fallback results may still be host arrays, so callers handle
+    both.
     """
     log = get_logger()
     tuning = tuning or StitchTuning()
@@ -482,7 +510,8 @@ def stitch_strip(images: List[np.ndarray],
         return compose_strip(imgs, transforms, tuning, stage, mesh=mesh,
                              store=store,
                              indices=([indices[i] for i in kept]
-                                      if indices is not None else None))
+                                      if indices is not None else None),
+                             return_device=return_device)
     except StripStitchError as err:
         log.log(stage, "joint stitch failed", error=str(err))
         if matching_mask is not None:
