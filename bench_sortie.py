@@ -95,9 +95,12 @@ def main():
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--ref-timeout", type=float, default=14400)
     ap.add_argument("--runs", type=int, default=1,
-                    help="measured end-to-end runs of ours at this commit; "
-                         "the recorded secs_ours is the MEDIAN and every "
-                         "run's wall/GT-RMSE/stage split is kept")
+                    help="measured end-to-end runs of ours at this commit. "
+                         "Run 1 is labeled COLD (it absorbs XLA compiles); "
+                         "the recorded secs_ours is the MEDIAN OF THE WARM "
+                         "runs (2..N), and every run's wall/GT-RMSE/stage "
+                         "split is kept. Use --runs >= 4 for the protocol "
+                         "(1 cold + >= 3 warm).")
     args = ap.parse_args()
 
     root, gt_path = make_sortie(args.work, rows=args.frames_rows,
@@ -123,21 +126,34 @@ def main():
             r, _, _ = gt_rmse(mosaic, gt, max_dim=6000)
             hbm_gb, hbm_meter, hbm_tag = peak_hbm_gb()
             runs.append(dict(
+                label=("cold" if k == 0 else "warm"),
                 secs=round(secs, 1), gt_rmse=round(r, 3),
                 stages=_stage_split(get_logger()._records[rec0:]),
                 peak_hbm_gb=hbm_gb, hbm_meter=hbm_meter,
                 hbm_peak_at=hbm_tag))
-            log(f"[sortie] ours run {k + 1}/{args.runs}: {secs:.1f}s "
+            log(f"[sortie] ours run {k + 1}/{args.runs} "
+                f"({runs[-1]['label']}): {secs:.1f}s "
                 f"gt_rmse={r:.2f} mosaic={mosaic.shape} hbm={hbm_gb} "
                 f"({hbm_meter} @ {hbm_tag})")
-        med = sorted(rn["secs"] for rn in runs)[(len(runs) - 1) // 2]
-        med_run = next(rn for rn in runs if rn["secs"] == med)
+        # protocol: run 1 absorbs the XLA compiles (COLD); the headline is
+        # the median over the WARM runs only — a "median" of [cold, warm]
+        # was really the min and under-reported the spread (round-4 weak #2)
+        true_warm = [rn for rn in runs if rn["label"] == "warm"]
+        warm = true_warm or runs
+        wsecs = sorted(rn["secs"] for rn in warm)
+        med = wsecs[(len(wsecs) - 1) // 2]
+        med_run = next(rn for rn in warm if rn["secs"] == med)
         out.update(secs_ours=med, secs_ours_runs=[rn["secs"] for rn in runs],
+                   cold_secs=runs[0]["secs"],
+                   warm_median=(med if true_warm else None),
+                   warm_runs=len(true_warm),
+                   warm_spread=[wsecs[0], wsecs[-1]],
                    gt_rmse_ours=med_run["gt_rmse"],
                    mosaic_hw=list(mosaic.shape[:2]),
                    peak_hbm_gb=med_run["peak_hbm_gb"],
                    hbm_meter=med_run["hbm_meter"],
                    hbm_peak_at=med_run["hbm_peak_at"],
+                   protocol_version=2,
                    runs=runs)
 
     if not args.skip_ref:
@@ -162,7 +178,9 @@ def main():
                 prior = json.load(f)
         except (OSError, json.JSONDecodeError):
             prior = {}
-    for k in ("secs_ours", "secs_ours_runs", "gt_rmse_ours", "mosaic_hw",
+    for k in ("secs_ours", "secs_ours_runs", "cold_secs", "warm_median",
+              "warm_runs", "warm_spread", "protocol_version",
+              "gt_rmse_ours", "mosaic_hw",
               "peak_hbm_gb", "hbm_meter", "hbm_peak_at", "backend", "runs",
               "secs_ref", "gt_rmse_ref", "ref_rc"):
         if k not in out and k in prior:

@@ -201,31 +201,21 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
         # state on the dead accelerator (FrameStore chunks, the mesh) is
         # dropped first; host copies rebuild it on the retry.
         from .runtime.device import run_stage_with_retry
-        from .runtime.handoff import DeviceStrip, as_host_strips
+        from .runtime.handoff import (DeviceStrip, as_host_strips,
+                                      recover_host_strips)
 
         strip_panos: List = []
-
-        def _strips_to_host(panos: List) -> None:
-            """Degrade support: device-resident strips must leave the
-            (possibly dead) accelerator before a CPU retry. Prefer the
-            cached host copy (the background JPEG save usually fetched it
-            already); fall back to a live fetch — if THAT also fails the
-            stage retry surfaces the original fault."""
-            for k, p in enumerate(panos):
-                if isinstance(p, DeviceStrip):
-                    cached = p.host_cached()
-                    panos[k] = cached if cached is not None else p.host()
+        ckpt_dir = os.path.join(cfg.output_dir, "strips")
 
         def _on_degrade():
             nonlocal mesh
             mesh = None
             if store is not None:
                 store.clear()
-            _strips_to_host(strip_panos)
-            if strips_done is not None:
-                _strips_to_host(strips_done)
+            recover_host_strips(strip_panos, ckpt_dir, log)
+            if strips_done is not None and strips_done is not strip_panos:
+                recover_host_strips(strips_done, ckpt_dir, log)
 
-        ckpt_dir = os.path.join(cfg.output_dir, "strips")
         writer = None
         strips_done: Optional[List[np.ndarray]] = None
         if cfg.resume:
@@ -324,15 +314,21 @@ def run_stitch_application(cfg: Optional[RunConfig] = None) -> int:
                     strip_panos.append(pano)
                     if cfg.save_strips:
                         # DeviceStrip.host() fetches on the WRITER thread:
-                        # the packed-I420 strip download overlaps the next
-                        # strip's device compute instead of serializing
-                        # inside the stitch loop
+                        # the strip download overlaps the next strip's
+                        # device compute instead of serializing inside the
+                        # stitch loop
                         writer.submit(
                             lambda path, p: _write_image(
                                 path, p.host() if isinstance(p, DeviceStrip)
                                 else p),
                             os.path.join(ckpt_dir, f"strip_{gi:02d}.jpg"),
                             pano)
+                    elif isinstance(pano, DeviceStrip):
+                        # no JPEG save: still prefetch the host copy in
+                        # the background so a later device fault finds
+                        # every strip recoverable (the degrade ladder
+                        # must not depend on a live device)
+                        writer.submit(lambda p: p.host() is not None, pano)
                 writer.submit(
                     lambda: save_strip_checkpoint(
                         ckpt_dir, as_host_strips(strip_panos)))

@@ -325,9 +325,13 @@ def mb_compose_tiled(canvas_h: int, canvas_w: int, bands: int,
     bands = tiled_bands(canvas_h, canvas_w, bands, tile)
     tiles, _ = mb_tile_grid(canvas_h, canvas_w, bands, tile)
     if assemble == "device":
+        # single-device by design; host-assembly-only callbacks must not
+        # be silently dropped (on_frame_retired IS honored below)
+        assert devices is None and on_rows is None, \
+            "assemble='device' supports neither devices nor on_rows"
         return _mb_compose_tiled_device(canvas_h, canvas_w, bands, tiles,
                                         frame_boxes, feed_tile,
-                                        feed_tile_many)
+                                        feed_tile_many, on_frame_retired)
     out = np.zeros((canvas_h, canvas_w, 3), np.uint8)
     devices = list(devices) if devices is not None else [None]
     # in-flight cap = device count: each pending entry keeps a whole
@@ -534,7 +538,7 @@ def _blend_commit_core(canvas: MultiBandCanvas, dev_out, crop_y, crop_x,
 
 def _mb_compose_tiled_device(canvas_h: int, canvas_w: int, bands: int,
                              tiles, frame_boxes, feed_tile,
-                             feed_tile_many):
+                             feed_tile_many, on_frame_retired=None):
     """Device-assembly variant of mb_compose_tiled (assemble="device").
 
     Returns (dev_canvas, bbox): ``dev_canvas`` is a (CH, CW, 3) uint8
@@ -549,6 +553,18 @@ def _mb_compose_tiled_device(canvas_h: int, canvas_w: int, bands: int,
     cw_a = align_up(canvas_w, max(g, EXT_SNAP))
     dev_out = jnp.zeros((ch_a, cw_a, 3), jnp.uint8)
     flag_entries = []   # (cy0, cy1, cx0, cx1, oy, ox, rows_any, cols_any)
+    last_tile = {}      # frame -> last tile index that touches it
+    for t_idx, (_, _, _, _, ey0, ey1, ex0, ex1) in enumerate(tiles):
+        for i, (fx0, fy0, fx1, fy1) in enumerate(frame_boxes):
+            if not (fx1 <= ex0 or fx0 >= ex1 or fy1 <= ey0 or fy0 >= ey1):
+                last_tile[i] = t_idx
+    # backpressure: everything here is async dispatch with no pixel fetch
+    # until the final flags read, so an unthrottled loop can enqueue many
+    # tiles' feed transients ahead of execution — the same single-chip
+    # RESOURCE_EXHAUSTED risk the host path caps with its pending queue.
+    # Block on the previous tile's (tiny) flags output before dispatching
+    # the one after next: at most 2 tiles' transients are ever allocatable.
+    inflight = []
     for t_idx, (cy0, cy1, cx0, cx1, ey0, ey1, ex0, ex1) in \
             enumerate(tiles):
         eh, ew = ey1 - ey0, ex1 - ex0
@@ -574,6 +590,13 @@ def _mb_compose_tiled_device(canvas_h: int, canvas_w: int, bands: int,
             out_h=eh, out_w=ew, crop_h=crop_h, crop_w=crop_w)
         flag_entries.append((cy0, cy1, cx0, cx1, oy, ox,
                              rows_any, cols_any))
+        inflight.append(rows_any)
+        if len(inflight) > 1:
+            inflight.pop(0).block_until_ready()
+        if on_frame_retired is not None:
+            for i, lt in last_tile.items():
+                if lt == t_idx:
+                    on_frame_retired(i)
         from ..runtime import hbm
         hbm.sample(f"compose-tile{t_idx}")
     bbox = [canvas_h, -1, canvas_w, -1]

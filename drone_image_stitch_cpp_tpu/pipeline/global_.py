@@ -360,6 +360,12 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
                   if isinstance(st, DeviceStrip)
                   else jnp.asarray(_pad_strip_u8(st, hp_, wp_))
                   for st in strips]
+    for st in strips:
+        if isinstance(st, DeviceStrip):
+            # the padded copy above is the compose's working set; release
+            # the original strip canvas as soon as its host copy is cached
+            # (otherwise both coexist in HBM for the whole global stage)
+            st.mark_consumed()
     transforms, dev_strips, _flips = _align_strips_dev(
         dev_strips, shapes, tuning, seed)
     t_aligned = time.perf_counter()
@@ -415,6 +421,8 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     hp_s = max(1, int(round(hp_ * seam_scale)))
     wp_s = max(1, int(round(wp_ * seam_scale)))
     s_x, s_y = wp_s / wp_, hp_s / hp_
+    import os as _os
+    fullres_seam = _os.environ.get("TM_SEAM_WARP") == "fullres"
 
     @jax.jit
     def _to_seam(strip_u8, t_small):
@@ -427,12 +435,28 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
                                   footprint_thresh=0.999)
         return simg, smask
 
+    @jax.jit
+    def _to_seam_fullres(strip_u8, t_seam):
+        # ablation reference path (TM_SEAM_WARP=fullres): warp the seam
+        # canvas straight from the full-res padded strip (the pre-9002d56
+        # behavior — ~10x slower and minification-aliased, kept to isolate
+        # the pre-scaled path's quality contribution)
+        img32 = strip_u8.astype(jnp.float32)
+        simg = warp_affine(img32, t_seam, sh, sw)
+        smask = warp_content_mask(nonblack_mask(img32, 2.0), t_seam,
+                                  sh, sw, footprint_thresh=0.999)
+        return simg, smask
+
     seam_imgs, seam_masks = [], []
     for i in range(n):
-        tsm = (ssc @ t_canvas[i]).astype(np.float32).copy()
-        tsm[:, 0] /= s_x            # pre-scaled source -> seam canvas
-        tsm[:, 1] /= s_y
-        simg, smask = _to_seam(dev_strips[i], jnp.asarray(tsm))
+        if fullres_seam:
+            tsm = (ssc @ t_canvas[i]).astype(np.float32)
+            simg, smask = _to_seam_fullres(dev_strips[i], jnp.asarray(tsm))
+        else:
+            tsm = (ssc @ t_canvas[i]).astype(np.float32).copy()
+            tsm[:, 0] /= s_x            # pre-scaled source -> seam canvas
+            tsm[:, 1] /= s_y
+            simg, smask = _to_seam(dev_strips[i], jnp.asarray(tsm))
         seam_imgs.append(simg)
         seam_masks.append(smask)
 
@@ -479,9 +503,11 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
     t_gain = time.perf_counter()
     log.log("GlobalCustom", "gains+exposure done",
             seconds=round(t_gain - t_seamwarp, 2))
-    # graph-cut seams with DP fallback (reference ladder :616-627)
-    seam_out = S.find_seams_sequential(comp_imgs, list(seam_masks), axes,
-                                       method="graphcut")
+    # graph-cut seams with DP fallback (reference ladder :616-627);
+    # TM_SEAM_METHOD=dp isolates the graph-cut's quality contribution
+    seam_out = S.find_seams_sequential(
+        comp_imgs, list(seam_masks), axes,
+        method=_os.environ.get("TM_SEAM_METHOD", "graphcut"))
     t_seams = time.perf_counter()
     log.log("GlobalCustom", "seams done",
             seconds=round(t_seams - t_gain, 2))
@@ -583,7 +609,7 @@ def stitch_inter_strips_custom(strips: List[np.ndarray],
             devices=(list(mesh.devices.flat) if mesh is not None
                      else None), on_frame_retired=retire,
             feed_tile_many=feed_many, on_rows=on_rows,
-            fetch_packed=True)
+            fetch_packed=_os.environ.get("TM_FETCH_PACKED", "1") != "0")
         if on_rows is not None:
             try:
                 hw = row_sink.finish()

@@ -111,6 +111,10 @@ class FrameStore:
         st._events = [threading.Event() for _ in range(n_chunks)]
         nt = n_threads or min(8, (os.cpu_count() or 1) * 2)
         if fmt == "auto":
+            # ablation override (artifacts/ABLATION_rmse_r5.md): force the
+            # BGR wire to isolate the I420 ingest's quality contribution
+            fmt = os.environ.get("TM_INGEST_FMT", "auto")
+        if fmt == "auto":
             fmt = "bgr"
             if scale_denom == 1 and st._paths:
                 from ..utils.native import decode_image_yuv420_native

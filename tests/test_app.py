@@ -110,6 +110,40 @@ def test_device_failure_midrun_retry(sortie_dir, tmp_path, monkeypatch):
     assert any("retrying stage on CPU backend" in m for m in msgs)
 
 
+def test_resume_is_byte_identical(sortie_dir, tmp_path, monkeypatch):
+    """A --resume run composes from the strip checkpoint; the checkpoint
+    stores the LOSSLESS raw host copy of each DeviceStrip, so the resumed
+    mosaic must be byte-identical to the straight-through run's (the
+    round-4 I420 checkpoint wire silently chroma-degraded resumed runs)."""
+    import cv2
+
+    from drone_image_stitch_cpp_tpu.ops import blend as B
+
+    # force the tiled compose so strips really flow as DeviceStrips
+    monkeypatch.setattr(B, "TILED_THRESHOLD_BYTES", 1)
+    out = str(tmp_path / "out")
+    overrides = dict(sift_features=512, strip_sift_features=512,
+                     global_sift_features=768,
+                     registration_resol_mpx=-1.0,
+                     seam_estimation_resol_mpx=-1.0, blend_bands=3)
+    cfg = RunConfig(image_folder=sortie_dir, image_type="visible",
+                    group="run", output_root=out,
+                    tuning_overrides=overrides)
+    assert run_stitch_application(cfg) == 0
+    pano_path = os.path.join(out, "visible", "run",
+                             "visible_run_uav_panorama.jpg")
+    straight = cv2.imread(pano_path, cv2.IMREAD_COLOR)
+    assert straight is not None
+
+    cfg2 = RunConfig(image_folder=sortie_dir, image_type="visible",
+                     group="run", output_root=out, resume=True,
+                     tuning_overrides=overrides)
+    assert run_stitch_application(cfg2) == 0
+    resumed = cv2.imread(pano_path, cv2.IMREAD_COLOR)
+    assert resumed is not None
+    assert np.array_equal(straight, resumed)
+
+
 def test_application_missing_folder(tmp_path):
     cfg = RunConfig(image_folder=str(tmp_path / "none"),
                     image_type="visible", group="g",
