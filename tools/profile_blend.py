@@ -52,23 +52,55 @@ def main():
         stats["host_s"] += time.perf_counter() - t0
         return out
 
+    orig_many = CF.feed_frames_grouped
+
+    def timed_many(*a, **k):
+        t0 = time.perf_counter()
+        out = orig_many(*a, **k)
+        stats["feeds"] += 1
+        stats["host_s"] += time.perf_counter() - t0
+        return out
+
     CF.feed_frame = timed_feed
+    CF.feed_frames_grouped = timed_many
+    out = {}
     try:
-        for run in range(2):
-            t0 = time.perf_counter()
-            stats.update(feeds=0, host_s=0.0)
-            pano = SP.compose_strip(frames, transforms, tuning,
-                                    stage="Prof", store=store,
-                                    indices=list(range(n)))
-            wall = time.perf_counter() - t0
-            log(f"run{run}: compose {wall:.1f}s feeds={stats['feeds']} "
-                f"host-in-feed {stats['host_s']:.1f}s "
-                f"({1000 * stats['host_s'] / max(1, stats['feeds']):.0f} "
-                f"ms/feed) pano={pano.shape}")
+        # flagship path: assemble="device" (return_device), then the host
+        # fetch path for comparison; runs 0 absorb compiles
+        from drone_image_stitch_cpp_tpu.runtime.logging import get_logger
+        for variant, return_device in (("device", True), ("host", False)):
+            for run in range(2):
+                rec0 = len(get_logger()._records)
+                t0 = time.perf_counter()
+                stats.update(feeds=0, host_s=0.0)
+                pano = SP.compose_strip(frames, transforms, tuning,
+                                        stage="Prof", store=store,
+                                        indices=list(range(n)),
+                                        return_device=return_device)
+                if return_device:
+                    # the relay's block_until_ready is a no-op; a jitted
+                    # checksum + scalar fetch is the only real sync
+                    import jax.numpy as _jnp
+                    chk = jax.jit(
+                        lambda x: _jnp.sum(x.astype(_jnp.int32)))
+                    float(np.asarray(chk(pano.dev)))
+                wall = time.perf_counter() - t0
+                stages = {r["msg"]: r["seconds"]
+                          for r in get_logger()._records[rec0:]
+                          if "seconds" in r}
+                log(f"{variant} run{run}: compose {wall:.1f}s "
+                    f"feed-calls={stats['feeds']} "
+                    f"host-in-feed {stats['host_s']:.1f}s "
+                    f"stages={stages}")
+            out[variant] = dict(warm_s=round(wall, 2),
+                                feed_calls=stats["feeds"],
+                                host_in_feed_s=round(stats["host_s"], 2),
+                                stages=stages)
     finally:
         CF.feed_frame = orig_feed
-    print(f'{{"compose_warm_s": {wall:.2f}, "feeds": {stats["feeds"]}, '
-          f'"host_in_feed_s": {stats["host_s"]:.2f}}}')
+        CF.feed_frames_grouped = orig_many
+    import json
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
