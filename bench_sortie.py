@@ -111,6 +111,53 @@ def main():
            "frame": "2160x3840", "overlap": "0.70/0.35",
            "commit": _git_commit()}
 
+    partial = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts", "BENCH_sortie_partial.json")
+
+    def _snapshot_runs(out, runs):
+        """Fold the runs-so-far into ``out`` (protocol v2 stats) and write
+        a partial artifact after EVERY run, so a measurement interrupted
+        mid-protocol still leaves its completed runs on disk. The real
+        record (BENCH_sortie.json) is only touched once >= 3 warm runs
+        exist — the ratchet test arms on any protocol-v2 record, and an
+        under-powered record must not masquerade as the headline."""
+        true_warm = [rn for rn in runs if rn["label"] == "warm"]
+        warm = true_warm or runs
+        wsecs = sorted(rn["secs"] for rn in warm)
+        med = wsecs[(len(wsecs) - 1) // 2]
+        med_run = next(rn for rn in warm if rn["secs"] == med)
+        out.update(secs_ours=med, secs_ours_runs=[rn["secs"] for rn in runs],
+                   cold_secs=runs[0]["secs"],
+                   warm_median=(med if true_warm else None),
+                   warm_runs=len(true_warm),
+                   warm_spread=[wsecs[0], wsecs[-1]],
+                   gt_rmse_ours=med_run["gt_rmse"],
+                   peak_hbm_gb=med_run["peak_hbm_gb"],
+                   hbm_meter=med_run["hbm_meter"],
+                   hbm_peak_at=med_run["hbm_peak_at"],
+                   protocol_version=2,
+                   runs=runs)
+        rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_sortie.json")
+        if os.path.exists(rec):
+            try:
+                with open(rec) as f:
+                    pr = json.load(f)
+                for k in ("secs_ref", "gt_rmse_ref", "ref_rc"):
+                    out.setdefault(k, pr.get(k))
+                if out.get("secs_ref") and out.get("ref_rc") == 0:
+                    out["speedup"] = round(out["secs_ref"] / med, 2)
+                    if out.get("gt_rmse_ref"):
+                        out["rmse_ratio"] = round(
+                            med_run["gt_rmse"] / out["gt_rmse_ref"], 3)
+            except (OSError, json.JSONDecodeError):
+                pass
+        os.makedirs(os.path.dirname(partial), exist_ok=True)
+        with open(partial, "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+        return len(true_warm)
+
     if not args.skip_ours:
         import jax
         from drone_image_stitch_cpp_tpu.runtime import hbm
@@ -135,26 +182,16 @@ def main():
                 f"({runs[-1]['label']}): {secs:.1f}s "
                 f"gt_rmse={r:.2f} mosaic={mosaic.shape} hbm={hbm_gb} "
                 f"({hbm_meter} @ {hbm_tag})")
-        # protocol: run 1 absorbs the XLA compiles (COLD); the headline is
-        # the median over the WARM runs only — a "median" of [cold, warm]
-        # was really the min and under-reported the spread (round-4 weak #2)
-        true_warm = [rn for rn in runs if rn["label"] == "warm"]
-        warm = true_warm or runs
-        wsecs = sorted(rn["secs"] for rn in warm)
-        med = wsecs[(len(wsecs) - 1) // 2]
-        med_run = next(rn for rn in warm if rn["secs"] == med)
-        out.update(secs_ours=med, secs_ours_runs=[rn["secs"] for rn in runs],
-                   cold_secs=runs[0]["secs"],
-                   warm_median=(med if true_warm else None),
-                   warm_runs=len(true_warm),
-                   warm_spread=[wsecs[0], wsecs[-1]],
-                   gt_rmse_ours=med_run["gt_rmse"],
-                   mosaic_hw=list(mosaic.shape[:2]),
-                   peak_hbm_gb=med_run["peak_hbm_gb"],
-                   hbm_meter=med_run["hbm_meter"],
-                   hbm_peak_at=med_run["hbm_peak_at"],
-                   protocol_version=2,
-                   runs=runs)
+            # protocol: run 1 absorbs the XLA compiles (COLD); the headline
+            # is the median over the WARM runs only — a "median" of
+            # [cold, warm] was really the min and under-reported the spread
+            # (round-4 weak #2)
+            out["mosaic_hw"] = list(mosaic.shape[:2])
+            n_warm = _snapshot_runs(out, runs)
+        if n_warm < 3:
+            log(f"[sortie] only {n_warm} warm runs — partial artifact "
+                f"written to {partial}; BENCH_sortie.json left untouched")
+            return
 
     if not args.skip_ref:
         secs, mosaic, rc = run_reference(root, timeout=args.ref_timeout)
